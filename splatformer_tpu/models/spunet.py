@@ -1,0 +1,110 @@
+"""SpUNet — sparse-convolution U-Net backbone (alternative to PTv3).
+
+Capability parity with the reference's `SparseConvModel`
+(/root/reference/models/spconv.py:5-25), which builds Pointcept's
+SpUNet-v1m1 (spconv-based encoder/decoder with strided sparse convs).
+
+TPU redesign: the same serialized grid pooling used by PTv3 stands in for
+strided sparse convolutions (it is the same voxel-merge operation), and each
+stage runs residual submanifold 3x3x3 conv blocks via the gather-matmul
+sparse conv (ops/sparse_conv.py). Skip connections add through the cluster
+map exactly like SerializedUnpooling.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from splatformer_tpu.models.layers import MaskedBatchNorm
+from splatformer_tpu.models.point import PointBatch
+from splatformer_tpu.models.ptv3 import (SerializedPooling,
+                                         SerializedUnpooling, _round_up)
+from splatformer_tpu.ops.sparse_conv import build_neighbor_map, sparse_conv_apply
+
+
+class SparseConvBlock(nn.Module):
+    """Residual 3x3x3 submanifold conv block: conv-BN-ReLU-conv-BN + skip."""
+
+    channels: int
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feat, nbr, mask, train: bool):
+        c = self.channels
+        h = feat
+        for j in range(2):
+            w = self.param(f"conv{j}_kernel", nn.initializers.lecun_normal(),
+                           (27, h.shape[-1], c))
+            b = self.param(f"conv{j}_bias", nn.initializers.zeros, (c,))
+            h = sparse_conv_apply(h, nbr, w, b)
+            h = MaskedBatchNorm(axis_name=self.bn_axis_name,
+                                name=f"norm{j}")(h, mask, train)
+            if j == 0:
+                h = nn.relu(h)
+        if feat.shape[-1] != c:
+            feat = nn.Dense(c, name="shortcut")(feat)
+        return nn.relu(feat + h)
+
+
+class SpUNet(nn.Module):
+    in_channels: int
+    base_channels: int = 32
+    channels: Sequence[int] = (32, 64, 128, 256)
+    dec_channels: Sequence[int] = (96, 96, 128)
+    depths: Sequence[int] = (2, 2, 2, 2)
+    dec_depths: Sequence[int] = (1, 1, 1)
+    stride: Sequence[int] = (2, 2, 2)
+    pool_capacity_factors: Sequence[float] = (0.75, 0.625, 0.5)
+    output_dim: int = 96
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, pb: PointBatch, train: bool = False
+                 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        num_stages = len(self.channels)
+        # stem
+        h = nn.Dense(self.base_channels, name="stem")(pb.feat)
+        h = MaskedBatchNorm(axis_name=self.bn_axis_name, name="stem_norm")(
+            h, pb.mask, train)
+        h = nn.relu(h)
+        pb = pb.replace(feat=h)
+
+        skips, clusters = [], []
+        for s in range(num_stages):
+            if s > 0:
+                cap = _round_up(
+                    max(128, int(pb.num_points * self.pool_capacity_factors[s - 1])),
+                    128)
+                cap = min(cap, _round_up(pb.num_points, 128))
+                child, cluster = SerializedPooling(
+                    out_channels=self.channels[s], stride=self.stride[s - 1],
+                    child_capacity=cap, bn_axis_name=self.bn_axis_name,
+                    name=f"enc{s}_down")(pb, train)
+                skips.append(pb)
+                clusters.append(cluster)
+                pb = child
+            nbr = build_neighbor_map(pb.grid_coord, pb.mask)
+            for i in range(self.depths[s]):
+                f = SparseConvBlock(self.channels[s],
+                                    bn_axis_name=self.bn_axis_name,
+                                    name=f"enc{s}_block{i}")(
+                    pb.feat, nbr, pb.mask, train)
+                pb = pb.replace(feat=f)
+
+        dec_channels = list(self.dec_channels) + [self.channels[-1]]
+        for s in reversed(range(num_stages - 1)):
+            pb = SerializedUnpooling(
+                out_channels=dec_channels[s], bn_axis_name=self.bn_axis_name,
+                name=f"dec{s}_up")(pb, skips[s], clusters[s], train)
+            nbr = build_neighbor_map(pb.grid_coord, pb.mask)
+            for i in range(self.dec_depths[s]):
+                f = SparseConvBlock(dec_channels[s],
+                                    bn_axis_name=self.bn_axis_name,
+                                    name=f"dec{s}_block{i}")(
+                    pb.feat, nbr, pb.mask, train)
+                pb = pb.replace(feat=f)
+
+        out = nn.Dense(self.output_dim, name="head")(pb.feat)
+        return out, {}
