@@ -1,0 +1,88 @@
+"""Attention/MLP FLOPs profiler — the TPU equivalent of
+/root/reference/calflops.py: run the backbone forward over test scenes,
+collect per-stage point counts, compute per-Block attention + MLP GFLOPs
+(same quantities the reference's fvcore hooks measure), average over scenes,
+append gflops.csv with the reference schema 'gflops,algo,r'.
+
+Also reports whole-program FLOPs from XLA cost analysis for context.
+"""
+import argparse
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="ptv3_base")
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--merge_rate", type=float, default=None)
+    p.add_argument("--num_scenes", type=int, default=10)
+    p.add_argument("--csv", default="gflops.csv")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--override", action="append", default=[])
+    args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from splatformer_tpu.configs import build_full_config
+    from splatformer_tpu.data.synthetic import random_scene
+    from splatformer_tpu.training.loop import build_feature_predictor
+    from splatformer_tpu.utils.flops import (ptv3_attention_mlp_gflops,
+                                             stage_points_from_diagnostics,
+                                             xla_cost_analysis)
+
+    cfg = build_full_config(args.model, args.dataset, "default",
+                            args.override)
+    if args.merge_rate is not None:
+        cfg.model.additional_info.r = args.merge_rate
+    model = build_feature_predictor(cfg.model)
+
+    if cfg.dataset.get("synthetic", False):
+        scenes = [random_scene(np.random.default_rng(i),
+                               cfg.dataset.n_gaussians,
+                               sh_degree=cfg.model.sh_degree)
+                  for i in range(args.num_scenes)]
+    else:
+        from splatformer_tpu.training.loop import make_splatfacto_data
+        _, test_factories = make_splatfacto_data(cfg.dataset, 1)
+        scenes = [b.scene for _, b in
+                  next(iter(test_factories.values()))()[:args.num_scenes]]
+
+    variables = model.init(jax.random.key(0), scenes[0], False)
+    fwd = jax.jit(lambda s: model.apply(variables, s, False))
+
+    attn_g, mlp_g = [], []
+    for scene in scenes:
+        _, diag = fwd(scene)
+        pts = stage_points_from_diagnostics(jax.device_get(diag))
+        a, m = ptv3_attention_mlp_gflops(
+            model.backbone_kwargs or {}, pts,
+            dict(cfg.model.additional_info or {}))
+        attn_g.append(a)
+        mlp_g.append(m)
+    attn_avg = float(np.mean(attn_g))
+    mlp_avg = float(np.mean(mlp_g))
+    info = dict(cfg.model.additional_info or {})
+    algo = info.get("tome", "base")
+    r = info.get("r", 0.0)
+    print(f"attention GFLOPs/scene: {attn_avg:.2f}  mlp: {mlp_avg:.2f} "
+          f"(algo={algo}, r={r})")
+    try:
+        ca = xla_cost_analysis(lambda s: model.apply(variables, s, False)[0],
+                               scenes[0])
+        if "flops" in ca:
+            print(f"whole-forward XLA flops: {ca['flops'] / 1e9:.2f} G")
+    except Exception as e:  # cost analysis unavailable on some backends
+        print("XLA cost analysis unavailable:", e)
+
+    new = not os.path.exists(args.csv)
+    with open(args.csv, "a") as f:
+        if new:
+            f.write("gflops,algo,r\n")
+        f.write(f"{attn_avg},{algo},{r}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""Training schedule config — mirrors /root/reference/configs/train/default.gin.
+
+Deviations (documented): the fork's lr_dict zeroes every head LR and the
+hardcoded attn.qkv finetune filter (a checkpoint-finetuning hack) — defaults
+here train the whole model like upstream SplatFormer; set
+`finetune_filter=['attn/qkv']` + head LRs 0 to reproduce the fork's mode.
+"""
+from ml_collections import ConfigDict
+
+
+def get_config() -> ConfigDict:
+    cfg = ConfigDict()
+    cfg.seed = 42
+    cfg.total_steps = 200_000
+    cfg.pretrain_steps = 0
+    cfg.eval_interval = 500
+    cfg.log_interval = 20
+    cfg.save_interval = 200_000
+    cfg.log_image_interval = 2000
+    cfg.grad_clip_norm = 2.0
+    cfg.resume_from_step = 0
+    cfg.image_l1_loss_weight = 1.0
+    cfg.lpips_loss_weight = 1.0
+    cfg.lpips_weights_path = "weights/lpips_vgg.npz"
+    cfg.bf16 = True  # TPU-native mixed precision (replaces CUDA AMP)
+
+    cfg.optimizer = ConfigDict(type_safe=False)
+    cfg.optimizer.type = "adam"
+    cfg.optimizer.eps = 1e-15
+    cfg.optimizer.lr_dict = {"base": 3e-5, "backbone": 3e-5}
+    cfg.optimizer.schedule = "constant"
+    cfg.optimizer.warmup_steps = 0
+    cfg.optimizer.finetune_filter = ()
+    return cfg

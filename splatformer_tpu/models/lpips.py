@@ -1,0 +1,110 @@
+"""LPIPS perceptual distance (VGG16 backbone) in flax — reference C23.
+
+Matches the `lpips.LPIPS(net='vgg')` computation used as both eval metric and
+training loss (/root/reference/utils/metrics.py:13, utils/loss_utils.py:1-13):
+
+  inputs in [0,1] (normalize=True) -> [-1,1] -> per-channel shift/scale ->
+  VGG16 conv features at relu{1_2,2_2,3_3,4_3,5_3} -> channel-unit-normalize
+  -> squared difference -> learned non-negative 1x1 'lin' weights ->
+  spatial mean -> sum over the five layers.
+
+Pretrained VGG16 + lin weights cannot be downloaded in this environment
+(zero egress, no torchvision); `load_lpips_params` reads them from an npz
+produced by `scripts/convert_lpips_weights.py` on any machine that has the
+`lpips` pip package, with documented key layout. Without a weights file the
+factory returns None and callers fall back to L1-only training / omit the
+LPIPS column.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# VGG16 conv layout: (out_channels, n_convs) per stage; features tapped after
+# the last ReLU of each stage.
+_VGG_STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+class VGG16Features(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for si, (ch, n_convs) in enumerate(_VGG_STAGES):
+            for ci in range(n_convs):
+                x = nn.Conv(ch, (3, 3), padding="SAME",
+                            name=f"conv{si}_{ci}")(x)
+                x = nn.relu(x)
+            feats.append(x)
+            if si < len(_VGG_STAGES) - 1:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return feats
+
+
+class LPIPS(nn.Module):
+    """Call with two (N, H, W, 3) images in [0, 1]; returns (N,) distances."""
+
+    @nn.compact
+    def __call__(self, img1, img2):
+        shift = jnp.asarray(_SHIFT)
+        scale = jnp.asarray(_SCALE)
+
+        def prep(x):
+            x = 2.0 * x - 1.0
+            return (x - shift) / scale
+
+        vgg = VGG16Features(name="vgg")
+        f1 = vgg(prep(img1))
+        f2 = vgg(prep(img2))
+        total = 0.0
+        for i, (a, b) in enumerate(zip(f1, f2)):
+            a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
+            b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
+            diff = (a - b) ** 2
+            w = self.param(f"lin{i}", nn.initializers.ones,
+                           (diff.shape[-1],))
+            d = jnp.sum(diff * jnp.abs(w), axis=-1)  # non-negative lin conv
+            total = total + jnp.mean(d, axis=(1, 2))
+        return total
+
+
+def load_lpips_params(path: str) -> Optional[dict]:
+    """Load converted weights (npz with keys vgg/conv{s}_{c}/{kernel,bias} in
+    HWIO layout and lin{0..4}). Returns a flax params dict or None."""
+    if not path or not os.path.exists(path):
+        return None
+    data = np.load(path)
+    params = {"vgg": {}}
+    for si, (_, n_convs) in enumerate(_VGG_STAGES):
+        for ci in range(n_convs):
+            name = f"conv{si}_{ci}"
+            params["vgg"][name] = {
+                "kernel": jnp.asarray(data[f"vgg/{name}/kernel"]),
+                "bias": jnp.asarray(data[f"vgg/{name}/bias"]),
+            }
+    for i in range(5):
+        params[f"lin{i}"] = jnp.asarray(data[f"lin{i}"])
+    return params
+
+
+def make_lpips_fn(weights_path: Optional[str] = None
+                  ) -> Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]]:
+    """Returns a jitted (img1, img2) -> (N,) LPIPS callable, or None when no
+    weights file is available (the caller must then skip LPIPS)."""
+    params = load_lpips_params(weights_path) if weights_path else None
+    if params is None:
+        return None
+    model = LPIPS()
+
+    @jax.jit
+    def fn(img1, img2):
+        return model.apply({"params": params}, img1, img2)
+
+    return fn

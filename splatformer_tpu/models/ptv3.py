@@ -94,6 +94,9 @@ class SerializedAttention(nn.Module):
             out = unmerge(out)  # back to (B, H, K, ch)
         out = out.transpose(0, 2, 1, 3).reshape(n, c)
         out = out[inverse]
+        # per-block attention features for the visualizer (collected only
+        # when apply(..., mutable=['intermediates']) requests them)
+        self.sow("intermediates", "attn_feat", out)
         out = nn.Dense(c, name="proj")(out)
         return out
 
@@ -278,9 +281,10 @@ class PointTransformerV3(nn.Module):
         num_stages = len(self.enc_depths)
         assert num_stages == len(self.stride) + 1
 
-        enc_dp = [float(x) for x in jnp.linspace(
+        import numpy as _np
+        enc_dp = [float(x) for x in _np.linspace(
             0, self.drop_path, sum(self.enc_depths))]
-        dec_dp = [float(x) for x in jnp.linspace(
+        dec_dp = [float(x) for x in _np.linspace(
             0, self.drop_path, sum(self.dec_depths))]
 
         # embedding (MLP type: Linear -> BN -> GELU)

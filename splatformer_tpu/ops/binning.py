@@ -92,3 +92,36 @@ def bin_gaussians(
     num_dropped = (jnp.sum(count_full) - num_entries).astype(jnp.int32)
     return TileBins(gauss_idx=gidx, tile_ids=tile_ids, tile_start=tile_start,
                     num_entries=num_entries, num_dropped=num_dropped)
+
+
+class PaddedTileBins(NamedTuple):
+    """Entry list repacked so every tile's range is chunk-aligned: tile t owns
+    [tile_start[t], tile_start[t+1]) with both ends multiples of `chunk`, and
+    padding slots inside a range are marked invalid (rendered inert by zero
+    opacity). This gives the Pallas kernels exclusive, aligned chunks per tile
+    — no cross-tile DMA write races in the backward pass."""
+
+    gauss_idx: jnp.ndarray    # (budget,) int32
+    valid: jnp.ndarray        # (budget,) bool
+    tile_start: jnp.ndarray   # (num_tiles + 1,) int32, multiples of chunk
+
+
+def pad_tile_ranges(bins: TileBins, num_tiles: int, chunk: int,
+                    max_intersects: int) -> PaddedTileBins:
+    budget = max_intersects + num_tiles * chunk
+    counts = bins.tile_start[1:] - bins.tile_start[:-1]           # (T,)
+    counts_p = ((counts + chunk - 1) // chunk) * chunk
+    new_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_p)]).astype(jnp.int32)
+
+    i_total = bins.gauss_idx.shape[0]
+    pos = jnp.arange(i_total, dtype=jnp.int32)
+    tid = jnp.clip(bins.tile_ids, 0, num_tiles - 1)
+    ok = bins.tile_ids < num_tiles
+    new_pos = new_start[tid] + (pos - bins.tile_start[tid])
+    new_pos = jnp.where(ok, new_pos, budget)
+
+    gidx = jnp.zeros((budget,), jnp.int32).at[new_pos].set(
+        bins.gauss_idx, mode="drop")
+    valid = jnp.zeros((budget,), bool).at[new_pos].set(ok, mode="drop")
+    return PaddedTileBins(gauss_idx=gidx, valid=valid, tile_start=new_start)

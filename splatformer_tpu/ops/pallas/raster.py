@@ -1,0 +1,324 @@
+"""Pallas TPU kernels for tile-based alpha compositing — forward + analytic
+backward (custom_vjp), gsplat v0.1.11 semantics.
+
+Design (vs the chunked pure-JAX walker in ops/compositing.py):
+  * grid = one program per 16x16 tile; per-tile entry ranges are chunk-aligned
+    (128 entries) and exclusive (binning.pad_tile_ranges), so every DMA
+    read/write touches only this tile's slice — no atomics, no races;
+  * entry data lives transposed in HBM as (16, budget) f32 — rows are
+    attributes [x, y, conic0, conic1, conic2, opacity, r, g, b, pad...],
+    columns are entries — so a chunk is a (16, 128) lane-aligned DMA;
+  * all compute is laid out (P=256 pixels on sublanes, C=128 entries on
+    lanes): entry attributes broadcast as (1, C) rows, pixel coordinates as
+    (P, 1) columns — zero transposes, full VPU tiles;
+  * the front-to-back recurrence is closed into vector form with log2(C)
+    shift-multiply scans along lanes (Hillis-Steele); T-product uses
+    exp-sum-log (Mosaic has no reduce_prod/scatter);
+  * forward early-exits a tile once every pixel crosses the 1e-4
+    transmittance cutoff; outputs pack [r, g, b, T] as a (4, P) block;
+  * backward reuses the saved per-tile output: gsplat's back-to-front suffix
+    accumulators are recovered front-to-back from S_total = g_rgb . acc, so a
+    single forward-order walk emits per-entry gradients for
+    xy/conic/color/opacity into this tile's exclusive output chunks.
+    Per-Gaussian reduction is a JAX scatter-add outside the kernel.
+
+References: compositing semantics mirror /root/reference/utils/gs_utils.py:96-109
+and SURVEY.md C14; kernel structure follows the Pallas TPU guide (DMA +
+PrefetchScalarGridSpec patterns).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PACK_W = 16   # packed attribute rows (9 used)
+CHUNK = 128   # entries per DMA chunk (lane width)
+
+
+def pack_entries_t(xy, conic, color, opac) -> jnp.ndarray:
+    """-> (PACK_W, budget) transposed packed entries (budget padded to 128)."""
+    n = xy.shape[0]
+    n_pad = ((n + CHUNK - 1) // CHUNK) * CHUNK
+    rows = [xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+            opac, color[:, 0], color[:, 1], color[:, 2]]
+    out = jnp.stack(rows, axis=0)  # (9, n)
+    out = jnp.concatenate(
+        [out, jnp.zeros((PACK_W - 9, n), jnp.float32)], axis=0)
+    return jnp.pad(out, ((0, 0), (0, n_pad - n)))
+
+
+def _shift_right(v, s, identity):
+    """Shift along lanes: out[:, i] = v[:, i-s], first s columns = identity."""
+    pad = jnp.full(v.shape[:-1] + (s,), identity, v.dtype)
+    return jnp.concatenate([pad, v[..., :-s]], axis=-1)
+
+
+def _cumprod_lanes(v):
+    s = 1
+    while s < v.shape[-1]:
+        v = v * _shift_right(v, s, 1.0)
+        s *= 2
+    return v
+
+
+def _cumsum_lanes(v):
+    s = 1
+    while s < v.shape[-1]:
+        v = v + _shift_right(v, s, 0.0)
+        s *= 2
+    return v
+
+
+def _chunk_quantities(e, pxs, pys, t_in, done_in, athr, amax, eps):
+    """Shared fwd/bwd math for one (P, C) block.
+
+    e: (PACK_W, C) attribute rows; pxs/pys: (P, 1); t_in/done_in: (P, 1)."""
+    x, y = e[0:1, :], e[1:2, :]
+    c0, c1, c2 = e[2:3, :], e[3:4, :], e[4:5, :]
+    op = e[5:6, :]
+    dx = x - pxs       # (P, C)
+    dy = y - pys
+    sigma = 0.5 * (c0 * dx * dx + c2 * dy * dy) + c1 * dx * dy
+    raw = op * jnp.exp(-sigma)
+    a = jnp.minimum(amax, raw)
+    okm = (sigma >= 0.0) & (a >= athr)
+    a = jnp.where(okm, a, 0.0)
+    om = 1.0 - a
+    incl = _cumprod_lanes(om) * t_in
+    cross = okm & (incl <= eps)
+    csum = _cumsum_lanes(cross.astype(jnp.float32))
+    seen_excl = (csum - cross.astype(jnp.float32)) > 0.5
+    contrib = okm & jnp.logical_not(done_in | seen_excl | cross)
+    excl = _shift_right(incl, 1, 1.0)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, excl.shape, 1) == 0
+    excl = jnp.where(col0, t_in, excl)
+    vis = jnp.where(contrib, a * excl, 0.0)
+    # Mosaic has no reduce_prod; om >= 1 - max_alpha > 0 where contrib
+    t_out = t_in * jnp.exp(jnp.sum(
+        jnp.where(contrib, jnp.log(om), 0.0), axis=-1, keepdims=True))
+    done_out = done_in | jnp.any(cross, axis=-1, keepdims=True)
+    return dict(dx=dx, dy=dy, sigma=sigma, raw=raw, a=a, om=om, excl=excl,
+                vis=vis, contrib=contrib, t_out=t_out, done_out=done_out,
+                c0=c0, c1=c1, c2=c2)
+
+
+def _make_calls(img_height: int, img_width: int, tile_size: int,
+                athr: float, amax: float, eps: float, budget: int,
+                interpret: bool):
+    ts = tile_size
+    tiles_x = (img_width + ts - 1) // ts
+    tiles_y = (img_height + ts - 1) // ts
+    num_tiles = tiles_x * tiles_y
+    p = ts * ts
+    chunk = CHUNK
+
+    def pixel_coords(t):
+        row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        lx = (row % ts).astype(jnp.float32)
+        ly = (row // ts).astype(jnp.float32)
+        pxs = lx + (t % tiles_x).astype(jnp.float32) * ts
+        pys = ly + (t // tiles_x).astype(jnp.float32) * ts
+        return pxs, pys
+
+    # ------------------------------------------------------------- forward
+    def fwd_kernel(tile_start_ref, packed_ref, out_ref, ebuf, sem):
+        t = pl.program_id(0)
+        start = tile_start_ref[t]
+        nchunks = (tile_start_ref[t + 1] - start) // chunk
+        pxs, pys = pixel_coords(t)
+
+        def cond(carry):
+            k, _, _, _, _, done = carry
+            return (k < nchunks) & jnp.logical_not(jnp.all(done))
+
+        def body(carry):
+            k, r, g, b, t_in, done = carry
+            dma = pltpu.make_async_copy(
+                packed_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk), chunk)],
+                ebuf, sem)
+            dma.start()
+            dma.wait()
+            e = ebuf[:, :]
+            q = _chunk_quantities(e, pxs, pys, t_in, done, athr, amax, eps)
+            r = r + jnp.sum(q["vis"] * e[6:7, :], axis=-1, keepdims=True)
+            g = g + jnp.sum(q["vis"] * e[7:8, :], axis=-1, keepdims=True)
+            b = b + jnp.sum(q["vis"] * e[8:9, :], axis=-1, keepdims=True)
+            return k + 1, r, g, b, q["t_out"], q["done_out"]
+
+        zero = jnp.zeros((p, 1), jnp.float32)
+        init = (jnp.int32(0), zero, zero, zero,
+                jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), bool))
+        _, r, g, b, t_out, _ = jax.lax.while_loop(cond, body, init)
+        # pack [r, g, b, T] rows -> (4, P)
+        out_ref[0] = jnp.concatenate(
+            [r.reshape(1, p), g.reshape(1, p), b.reshape(1, p),
+             t_out.reshape(1, p)], axis=0)
+
+    grid_fwd = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[pl.BlockSpec((1, 4, p), lambda t, s: (t, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((PACK_W, chunk), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())])
+    fwd_call = pl.pallas_call(
+        fwd_kernel,
+        grid_spec=grid_fwd,
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, 4, p), jnp.float32)],
+        interpret=interpret)
+
+    # ------------------------------------------------------------ backward
+    def bwd_kernel(tile_start_ref, packed_ref, g_out_ref, out_saved_ref,
+                   dout_ref, ebuf, obuf, sem_in, sem_out):
+        t = pl.program_id(0)
+        start = tile_start_ref[t]
+        nchunks = (tile_start_ref[t + 1] - start) // chunk
+        pxs, pys = pixel_coords(t)
+        gr = g_out_ref[0, 0, :].reshape(p, 1)
+        gg = g_out_ref[0, 1, :].reshape(p, 1)
+        gb = g_out_ref[0, 2, :].reshape(p, 1)
+        gT = g_out_ref[0, 3, :].reshape(p, 1)
+        acc_r = out_saved_ref[0, 0, :].reshape(p, 1)
+        acc_g = out_saved_ref[0, 1, :].reshape(p, 1)
+        acc_b = out_saved_ref[0, 2, :].reshape(p, 1)
+        t_fin = out_saved_ref[0, 3, :].reshape(p, 1)
+        s_total = gr * acc_r + gg * acc_g + gb * acc_b   # (P, 1)
+        gt_term = gT * t_fin                              # (P, 1)
+
+        def body(k, carry):
+            t_in, done, s_rem = carry
+            dma = pltpu.make_async_copy(
+                packed_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk), chunk)],
+                ebuf, sem_in)
+            dma.start()
+            dma.wait()
+            e = ebuf[:, :]
+            q = _chunk_quantities(e, pxs, pys, t_in, done, athr, amax, eps)
+            gc = e[6:7, :] * gr + e[7:8, :] * gg + e[8:9, :] * gb  # (P, C)
+            terms = jnp.where(q["contrib"], gc * q["vis"], 0.0)
+            pre_incl = _cumsum_lanes(terms)
+            s_after = s_rem - pre_incl
+            da = q["excl"] * gc - (s_after + gt_term) / q["om"]
+            clamped = q["raw"] >= amax
+            active = q["contrib"] & jnp.logical_not(clamped)
+            dsig = jnp.where(active, -q["raw"] * da, 0.0)
+            dop_pp = jnp.where(active, jnp.exp(-q["sigma"]) * da, 0.0)
+
+            dx, dy = q["dx"], q["dy"]
+            rows = [
+                jnp.sum((q["c0"] * dx + q["c1"] * dy) * dsig, axis=0,
+                        keepdims=True),
+                jnp.sum((q["c1"] * dx + q["c2"] * dy) * dsig, axis=0,
+                        keepdims=True),
+                jnp.sum(0.5 * dx * dx * dsig, axis=0, keepdims=True),
+                jnp.sum(dx * dy * dsig, axis=0, keepdims=True),
+                jnp.sum(0.5 * dy * dy * dsig, axis=0, keepdims=True),
+                jnp.sum(dop_pp, axis=0, keepdims=True),
+                jnp.sum(gr * q["vis"], axis=0, keepdims=True),
+                jnp.sum(gg * q["vis"], axis=0, keepdims=True),
+                jnp.sum(gb * q["vis"], axis=0, keepdims=True),
+                jnp.zeros((PACK_W - 9, chunk), jnp.float32),
+            ]
+            obuf[:, :] = jnp.concatenate(rows, axis=0)
+            dma_out = pltpu.make_async_copy(
+                obuf,
+                dout_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk), chunk)],
+                sem_out)
+            dma_out.start()
+            dma_out.wait()
+            s_rem = s_rem - jnp.sum(terms, axis=-1, keepdims=True)
+            return q["t_out"], q["done_out"], s_rem
+
+        init = (jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), bool),
+                s_total)
+        jax.lax.fori_loop(0, nchunks, body, init)
+
+    grid_bwd = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, 4, p), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, p), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        scratch_shapes=[pltpu.VMEM((PACK_W, chunk), jnp.float32),
+                        pltpu.VMEM((PACK_W, chunk), jnp.float32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())])
+    bwd_call = pl.pallas_call(
+        bwd_kernel,
+        grid_spec=grid_bwd,
+        out_shape=[jax.ShapeDtypeStruct((PACK_W, budget), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            has_side_effects=True))
+
+    @jax.custom_vjp
+    def composite(packed_t, tile_start):
+        (out,) = fwd_call(tile_start, packed_t)
+        return out
+
+    def composite_fwd(packed_t, tile_start):
+        (out,) = fwd_call(tile_start, packed_t)
+        return out, (packed_t, tile_start, out)
+
+    def composite_bwd(res, g_out):
+        packed_t, tile_start, out = res
+        (d_packed,) = bwd_call(tile_start, packed_t, g_out, out)
+        # columns past the last padded tile end are never written
+        written = (jax.lax.broadcasted_iota(jnp.int32, (1, budget), 1)
+                   < tile_start[num_tiles])
+        d_packed = jnp.where(written, d_packed, 0.0)
+        d_ts = np.zeros(tile_start.shape, jax.dtypes.float0)
+        return d_packed, d_ts
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite, (tiles_x, tiles_y, num_tiles, p)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_calls(*args):
+    return _make_calls(*args)
+
+
+def composite_tiles_pallas(
+    entry_xy, entry_conic, entry_color, entry_opac, tile_start,
+    img_height: int, img_width: int, tile_size: int, background,
+    alpha_threshold: float = 1.0 / 255.0, max_alpha: float = 0.999,
+    transmittance_eps: float = 1e-4, chunk: int = CHUNK,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same contract as compositing.composite_tiles but requires the
+    chunk-aligned (chunk == 128) entry layout from binning.pad_tile_ranges,
+    with invalid rows carrying opacity 0."""
+    assert chunk == CHUNK, "pallas path uses 128-entry chunks"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    packed_t = pack_entries_t(entry_xy, entry_conic, entry_color, entry_opac)
+    budget = packed_t.shape[1]
+    composite, (tiles_x, tiles_y, num_tiles, p) = _cached_calls(
+        img_height, img_width, tile_size, float(alpha_threshold),
+        float(max_alpha), float(transmittance_eps), budget, bool(interpret))
+    out = composite(packed_t, tile_start)
+    ts = tile_size
+    rgb = (out[:, 0:3, :].transpose(0, 2, 1)
+           .reshape(tiles_y, tiles_x, ts, ts, 3)
+           .transpose(0, 2, 1, 3, 4)
+           .reshape(tiles_y * ts, tiles_x * ts, 3))
+    t_img = (out[:, 3, :].reshape(tiles_y, tiles_x, ts, ts)
+             .transpose(0, 2, 1, 3)
+             .reshape(tiles_y * ts, tiles_x * ts))
+    rgb = rgb[:img_height, :img_width]
+    t_img = t_img[:img_height, :img_width]
+    rgb = rgb + t_img[..., None] * background[None, None, :]
+    return rgb, 1.0 - t_img

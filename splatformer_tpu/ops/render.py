@@ -90,25 +90,33 @@ def render_image(
         proj, camera.height, camera.width, config.tile_size,
         config.max_intersects, config.tiles_per_gauss)
 
-    # Gather per-entry data in sorted order; pad by chunk_size so the chunked
-    # walker's dynamic slices never clamp.
-    pad = config.chunk_size
-    gidx = bins.gauss_idx
-    entry_xy = jnp.pad(proj.xys[gidx], ((0, pad), (0, 0)))
-    entry_conic = jnp.pad(proj.conics[gidx], ((0, pad), (0, 0)))
-    entry_color = jnp.pad(colors[gidx], ((0, pad), (0, 0)))
-    entry_opac = jnp.pad(opacities[gidx], ((0, pad),))
-
-    if config.use_pallas:
-        from splatformer_tpu.ops.pallas.raster import composite_tiles_pallas
+    if config.resolved_use_pallas():
+        from splatformer_tpu.ops.binning import pad_tile_ranges
+        from splatformer_tpu.ops.pallas.raster import (CHUNK,
+                                                       composite_tiles_pallas)
+        tiles_x = (camera.width + config.tile_size - 1) // config.tile_size
+        tiles_y = (camera.height + config.tile_size - 1) // config.tile_size
+        pbins = pad_tile_ranges(bins, tiles_x * tiles_y, CHUNK,
+                                config.max_intersects)
+        gidx = pbins.gauss_idx
         rgb, alpha = composite_tiles_pallas(
-            entry_xy, entry_conic, entry_color, entry_opac, bins.tile_start,
+            proj.xys[gidx], proj.conics[gidx], colors[gidx],
+            jnp.where(pbins.valid, opacities[gidx], 0.0),
+            pbins.tile_start,
             camera.height, camera.width, config.tile_size, background,
             alpha_threshold=config.alpha_threshold,
             max_alpha=config.max_alpha,
             transmittance_eps=config.transmittance_eps,
         )
     else:
+        # Gather per-entry data in sorted order; pad by chunk_size so the
+        # chunked walker's dynamic slices never clamp.
+        pad = config.chunk_size
+        gidx = bins.gauss_idx
+        entry_xy = jnp.pad(proj.xys[gidx], ((0, pad), (0, 0)))
+        entry_conic = jnp.pad(proj.conics[gidx], ((0, pad), (0, 0)))
+        entry_color = jnp.pad(colors[gidx], ((0, pad), (0, 0)))
+        entry_opac = jnp.pad(opacities[gidx], ((0, pad),))
         rgb, alpha = composite_tiles(
             entry_xy, entry_conic, entry_color, entry_opac, bins.tile_start,
             camera.height, camera.width, config.tile_size, background,

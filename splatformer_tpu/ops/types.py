@@ -105,4 +105,11 @@ class RasterizeConfig:
     alpha_threshold: float = struct.field(pytree_node=False, default=1.0 / 255.0)
     transmittance_eps: float = struct.field(pytree_node=False, default=1e-4)
     max_alpha: float = struct.field(pytree_node=False, default=0.999)
-    use_pallas: bool = struct.field(pytree_node=False, default=False)
+    # None = auto: Pallas kernels on TPU, chunked-JAX path elsewhere
+    use_pallas: bool | None = struct.field(pytree_node=False, default=None)
+
+    def resolved_use_pallas(self) -> bool:
+        if self.use_pallas is None:
+            import jax
+            return jax.default_backend() == "tpu"
+        return self.use_pallas

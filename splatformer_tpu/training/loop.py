@@ -1,0 +1,360 @@
+"""High-level training / evaluation orchestration.
+
+The TPU re-design of /root/reference/train.py's `training()` (:195-353) and
+`evaluation()` (:69-192): host-side loop feeding jitted shard_mapped steps;
+periodic eval over every test set, image grids, metric JSONs, eval.csv rows,
+checkpointing, config provenance dump.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatformer_tpu.data.synthetic import orbit_cameras, random_scene
+from splatformer_tpu.models.feature_predictor import FeaturePredictor
+from splatformer_tpu.models.lpips import load_lpips_params, make_lpips_fn
+from splatformer_tpu.ops.types import RasterizeConfig
+from splatformer_tpu.parallel.mesh import make_mesh, shard_batch
+from splatformer_tpu.training import checkpoints as ckpt_lib
+from splatformer_tpu.training.metrics import MetricComputer
+from splatformer_tpu.training.optim import build_optimizer
+from splatformer_tpu.training.train_step import (SceneBatch, TrainState,
+                                                 init_state, make_eval_step,
+                                                 make_train_step)
+from splatformer_tpu.utils.logging import (device_peak_memory_mb, get_logger,
+                                           log_result_csv, make_grid,
+                                           save_image)
+
+
+def build_feature_predictor(model_cfg, bn_axis_name=None) -> FeaturePredictor:
+    """Model from config — channel presets follow
+    /root/reference/models/pointtransformer_v3.py:100-126."""
+    b = model_cfg.backbone
+    if model_cfg.backbone_type == "PT":
+        dec_channels = tuple(b.get("dec_channels", ())) or {
+            64: (64, 64, 128, 256), 128: (128, 128, 256, 256),
+            96: (96, 96, 128, 256)}[b.output_dim]
+        enc_channels = tuple(b.get("enc_channels", ())) or {
+            32: (32, 64, 128, 256, 512), 64: (64, 96, 128, 256, 512)}[b.enc_dim]
+        patch = b.get("patch_size", 0) or (1024 if b.enable_flash else 128)
+        backbone_kwargs = dict(
+            enc_depths=tuple(b.enc_depths), enc_channels=enc_channels,
+            enc_num_head=tuple(b.enc_num_head),
+            enc_patch_size=(patch,) * len(enc_channels),
+            dec_depths=tuple(b.dec_depths), dec_channels=dec_channels,
+            dec_num_head=tuple(b.dec_num_head),
+            dec_patch_size=(patch,) * len(dec_channels),
+            stride=tuple(b.stride), mlp_ratio=b.mlp_ratio,
+            drop_path=b.drop_path,
+            pool_capacity_factors=tuple(b.pool_capacity_factors))
+    else:
+        backbone_kwargs = dict(model_cfg.get("sp_backbone", {}))
+    info = dict(model_cfg.additional_info) if model_cfg.additional_info else {}
+    return FeaturePredictor(
+        backbone_type=model_cfg.backbone_type,
+        sh_degree=model_cfg.sh_degree,
+        input_features=tuple(model_cfg.input_features),
+        output_features=tuple(model_cfg.output_features),
+        input_feat_to_mlp=model_cfg.input_feat_to_mlp,
+        output_head_nlayer=model_cfg.output_head_nlayer,
+        output_head_width=model_cfg.output_head_width,
+        output_features_type=model_cfg.output_features_type,
+        res_feature_activation=dict(model_cfg.res_feature_activation),
+        max_scale_normalized=model_cfg.max_scale_normalized,
+        grid_resolution=model_cfg.grid_resolution,
+        zeroinit=model_cfg.zeroinit,
+        bn_axis_name=bn_axis_name,
+        additional_info=info,
+        backbone_kwargs=backbone_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# data providers
+# ---------------------------------------------------------------------------
+
+def _synthetic_scene_pair(i: int, n: int, hw: int, views: int, rcfg,
+                          background):
+    """(input scene, GT images): GT rendered from a clean scene, input is a
+    perturbed copy — gives the smoke-training loop real signal."""
+    from splatformer_tpu.ops.render import render_images
+    rng = np.random.default_rng(1000 + i)
+    clean = random_scene(rng, n, sh_degree=1)
+    cams = orbit_cameras(views, hw, hw)
+    gt, _ = render_images(clean, cams, background, rcfg)
+    noisy = clean.replace(
+        means=clean.means + 0.004 * jnp.asarray(
+            rng.normal(size=clean.means.shape), jnp.float32),
+        scales=clean.scales + 0.1 * jnp.asarray(
+            rng.normal(size=clean.scales.shape), jnp.float32))
+    return SceneBatch(scene=noisy, cameras=cams, images=jax.device_get(gt),
+                      background=background)
+
+
+def make_synthetic_data(ds_cfg, n_devices: int, rcfg: RasterizeConfig):
+    """Returns (train_batch_iter, {name: test_scene_list_factory})."""
+    background = jnp.asarray(ds_cfg.background_color, jnp.float32) / 255.0
+    pairs = [_synthetic_scene_pair(i, ds_cfg.n_gaussians, ds_cfg.image_size,
+                                   ds_cfg.image_per_scene, rcfg, background)
+             for i in range(ds_cfg.n_scenes)]
+
+    def train_iter():
+        i = 0
+        while True:
+            group = [pairs[(i + j) % len(pairs)] for j in range(n_devices)]
+            yield jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+            i += n_devices
+
+    def test_scenes():
+        return [(f"scene{i}", pairs[i]) for i in range(min(4, len(pairs)))]
+
+    return train_iter(), {"synthetic": test_scenes}
+
+
+def make_splatfacto_data(ds_cfg, n_devices: int):
+    """Real data pipeline over nerfstudio/COLMAP folders (C6/C8)."""
+    from splatformer_tpu.data.dataset import SplatfactoScenes, to_scene_batch
+
+    pad_to = ds_cfg.pad_to or ((ds_cfg.max_gs_num + 1023) // 1024) * 1024
+    train_ds = SplatfactoScenes(
+        "train", ds_cfg.train.nerfstudio_folder, ds_cfg.train.colmap_folder,
+        load_pose_src=ds_cfg.load_pose_src,
+        sample_ratio_test=ds_cfg.train.sample_ratio_test,
+        image_per_scene=ds_cfg.train.image_per_scene,
+        remove_outlier_ndevs=ds_cfg.remove_outlier_ndevs,
+        max_gs_num=ds_cfg.max_gs_num, pad_to=pad_to,
+        background_color=ds_cfg.train.background_color,
+        cache_steps=ds_cfg.train.cache_steps,
+        cache_num_scenes=ds_cfg.train.cache_num_scenes,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+        split_across_processes=ds_cfg.train.split_across_processes)
+
+    def train_iter():
+        it = train_ds.iter_train()
+        while True:
+            yield to_scene_batch([next(it) for _ in range(n_devices)])
+
+    def make_test_factory(name, folders):
+        def factory():
+            ds = SplatfactoScenes(
+                "test", folders[0], folders[1],
+                load_pose_src=ds_cfg.load_pose_src,
+                remove_outlier_ndevs=ds_cfg.remove_outlier_ndevs,
+                max_gs_num=ds_cfg.max_gs_num, pad_to=pad_to,
+                background_color=list(ds_cfg.test.background_color),
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+                split_across_processes=ds_cfg.test.split_across_processes)
+            out = []
+            for sample in ds.iter_test():
+                batch = to_scene_batch([sample])
+                batch = jax.tree.map(lambda a: a[0], batch)
+                out.append((f"{sample['scene_idx']}", batch))
+            return out
+        return factory
+
+    test = {name: make_test_factory(name, folders)
+            for name, folders in dict(ds_cfg.test.folders).items()}
+    return train_iter(), test
+
+
+# ---------------------------------------------------------------------------
+# evaluation (reference train.py:69-192)
+# ---------------------------------------------------------------------------
+
+def evaluation(model, params, batch_stats, scene_list, mesh,
+               rcfg: RasterizeConfig, output_dir: str,
+               output_gt: bool = False, compare_with_input: bool = False,
+               save_as_single: bool = False, save_viewer: bool = False,
+               evaluate_input: bool = False,
+               lpips_fn=None) -> Tuple[Dict[str, float], Dict[str, float], float]:
+    """Evaluate a list of (name, SceneBatch-without-device-axis) scenes.
+
+    Returns (metrics, metrics_input, peak_mem_mb); metrics are per-image
+    means across the local process (multi-process reduction is the caller's
+    job, mirroring dist.reduce in the reference)."""
+    os.makedirs(output_dir, exist_ok=True)
+    mc = MetricComputer(lpips_fn)
+    mc_input = MetricComputer(lpips_fn) if compare_with_input else None
+    # one scene per call on a single-device mesh (scenes are already sharded
+    # across processes, GS.py:54-68 semantics); jitted once, reused per scene
+    one_mesh = make_mesh(n_devices=1)
+    ev = make_eval_step(model, one_mesh, rcfg, render_input=evaluate_input)
+    ev_input = (make_eval_step(model, one_mesh, rcfg, render_input=True)
+                if (compare_with_input or save_viewer) else None)
+
+    for name, scene_batch in scene_list:
+        batch = jax.tree.map(lambda a: jnp.asarray(a)[None], scene_batch)
+        pred, alpha, m_psnr, m_ssim = ev(params, batch_stats, batch)
+        pred = np.asarray(pred[0])
+        gt = np.asarray(scene_batch.images)
+        mc.update(jnp.asarray(pred), jnp.asarray(gt), name=name)
+
+        pred_u8 = (np.clip(pred, 0, 1) * 255).astype(np.uint8)
+        gt_u8 = (np.clip(gt, 0, 1) * 255).astype(np.uint8)
+        save_image(os.path.join(output_dir, f"scene{name}_pred.png"),
+                   make_grid(list(pred_u8)))
+        if output_gt:
+            save_image(os.path.join(output_dir, f"scene{name}_gt.png"),
+                       make_grid(list(gt_u8)))
+        if compare_with_input or save_viewer:
+            in_pred, _, _, _ = ev_input(params, batch_stats, batch)
+            in_u8 = (np.clip(np.asarray(in_pred[0]), 0, 1) * 255).astype(np.uint8)
+            if compare_with_input:
+                mc_input.update(jnp.asarray(np.asarray(in_pred[0])),
+                                jnp.asarray(gt), name=name)
+                cmp_dir = os.path.join(output_dir, "compare", str(name))
+                for vi in range(pred_u8.shape[0]):
+                    strip = np.concatenate(
+                        [gt_u8[vi], in_u8[vi], pred_u8[vi]], axis=1)
+                    save_image(os.path.join(cmp_dir, f"{vi:02d}.png"), strip)
+        if save_as_single:
+            sdir = os.path.join(output_dir, "pred", str(name))
+            for vi in range(pred_u8.shape[0]):
+                save_image(os.path.join(sdir, f"{vi:02d}.png"), pred_u8[vi])
+        if save_viewer:
+            from splatformer_tpu.utils.viewer import (export_ply_for_viewer,
+                                                      prepare_viewer)
+            vdir = os.path.join(output_dir, "viewer", str(name))
+            cams = {
+                "camera_to_worlds": np.asarray(scene_batch.cameras.c2w),
+                "fx": float(scene_batch.cameras.fx[0]),
+                "fy": float(scene_batch.cameras.fy[0]),
+                "width": scene_batch.cameras.width,
+                "height": scene_batch.cameras.height,
+            }
+            prepare_viewer(cams, vdir, sh_degree=1)
+            mask = np.asarray(scene_batch.scene.valid_mask())
+            in_gs = {k: np.asarray(getattr(scene_batch.scene, k))[mask]
+                     for k in ("means", "scales", "quats", "opacities",
+                               "features_dc", "features_rest")}
+            export_ply_for_viewer(in_gs, os.path.join(
+                vdir, "point_cloud/iteration_0/point_cloud.ply"))
+            # refined export: run the model forward for the raw outputs
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            refined, _ = model.apply(variables, scene_batch.scene, False)
+            out_gs = {k: np.asarray(getattr(refined, k))[mask]
+                      for k in in_gs}
+            export_ply_for_viewer(out_gs, os.path.join(
+                vdir, "point_cloud/iteration_1/point_cloud.ply"))
+
+    mc.write_to_file(os.path.join(
+        output_dir, f"metrics.rank{jax.process_index()}.json"))
+    metrics = mc.finalize()
+    metrics_input = {}
+    if compare_with_input:
+        mc_input.write_to_file(os.path.join(
+            output_dir, f"metrics_input.rank{jax.process_index()}.json"))
+        metrics_input = mc_input.finalize()
+    return metrics, metrics_input, device_peak_memory_mb()
+
+
+# ---------------------------------------------------------------------------
+# training (reference train.py:195-353)
+# ---------------------------------------------------------------------------
+
+def run_training(cfg, output_dir: str,
+                 mesh=None, max_steps: Optional[int] = None,
+                 raster_config: Optional[RasterizeConfig] = None):
+    logger = get_logger(os.path.join(output_dir, "train.log"))
+    os.makedirs(output_dir, exist_ok=True)
+    mesh = mesh or make_mesh()
+    n_devices = mesh.devices.size
+    rcfg = raster_config or RasterizeConfig()
+
+    model = build_feature_predictor(cfg.model, bn_axis_name="data")
+    eval_model = build_feature_predictor(cfg.model, bn_axis_name=None)
+
+    if cfg.dataset.get("synthetic", False):
+        train_iter, test_factories = make_synthetic_data(
+            cfg.dataset, n_devices, rcfg)
+    else:
+        train_iter, test_factories = make_splatfacto_data(
+            cfg.dataset, n_devices)
+
+    first = next(train_iter)
+    example_scene = jax.tree.map(lambda a: a[0], first.scene)
+    params0 = model.init(jax.random.key(cfg.train.seed), example_scene,
+                         False)["params"]
+    tx = build_optimizer(
+        params0, lr_dict=dict(cfg.train.optimizer.lr_dict),
+        optimizer_type=cfg.train.optimizer.type,
+        eps=cfg.train.optimizer.eps,
+        schedule=cfg.train.optimizer.schedule,
+        total_steps=cfg.train.total_steps,
+        warmup_steps=cfg.train.optimizer.warmup_steps,
+        grad_clip_norm=cfg.train.grad_clip_norm,
+        accumulate_steps=cfg.dataset.get("accumulate_step", 1),
+        finetune_filter=tuple(cfg.train.optimizer.finetune_filter) or None)
+    state = init_state(model, tx, example_scene,
+                       jax.random.key(cfg.train.seed))
+
+    ckpt_dir = os.path.join(output_dir, "checkpoints")
+    if ckpt_lib.latest_step(ckpt_dir) is not None:
+        state = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+        logger.info("restored checkpoint at step %d", int(state.step))
+
+    lpips_params = load_lpips_params(cfg.train.get("lpips_weights_path", ""))
+    lpips_w = cfg.train.lpips_loss_weight if lpips_params is not None else 0.0
+    if cfg.train.lpips_loss_weight > 0 and lpips_params is None:
+        logger.warning("LPIPS weights not found at %s — training with L1 only",
+                       cfg.train.get("lpips_weights_path", ""))
+    lpips_fn = make_lpips_fn(cfg.train.get("lpips_weights_path", ""))
+
+    step_fn = make_train_step(model, tx, mesh, rcfg,
+                              image_l1_loss_weight=cfg.train.image_l1_loss_weight,
+                              lpips_loss_weight=lpips_w,
+                              lpips_params=lpips_params)
+    rng = jax.random.key(cfg.train.seed + 1)
+
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json(indent=2))
+
+    total = max_steps if max_steps is not None else cfg.train.total_steps
+    accum = cfg.dataset.get("accumulate_step", 1)
+    t0 = time.time()
+    batch = first
+    history = []
+    for step in range(int(state.step), total * accum):
+        opt_step = step // accum
+        state, metrics = step_fn(state, shard_batch(mesh, batch), rng)
+        if (opt_step % cfg.train.log_interval == 0 and step % accum == 0):
+            m = {k: float(jnp.asarray(v)) for k, v in metrics.items()}
+            m["steps_per_s"] = (step + 1) / (time.time() - t0)
+            history.append({"step": opt_step, **m})
+            logger.info("step %d: %s", opt_step,
+                        " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+        if (step % accum == 0 and cfg.train.eval_interval > 0
+                and opt_step > 0 and opt_step % cfg.train.eval_interval == 0):
+            _run_evals(cfg, eval_model, state, test_factories, mesh, rcfg,
+                       output_dir, opt_step, logger, lpips_fn)
+        if (step % accum == 0 and (opt_step + 1) % cfg.train.save_interval == 0):
+            ckpt_lib.save_checkpoint(ckpt_dir, state, opt_step)
+            logger.info("saved checkpoint at step %d", opt_step)
+        batch = next(train_iter)
+
+    ckpt_lib.save_checkpoint(ckpt_dir, state, total)
+    with open(os.path.join(output_dir, "history.json"), "w") as f:
+        json.dump(history, f)
+    return state, model, eval_model, test_factories, rcfg, lpips_fn
+
+
+def _run_evals(cfg, eval_model, state, test_factories, mesh, rcfg,
+               output_dir, opt_step, logger, lpips_fn):
+    for name, factory in test_factories.items():
+        scenes = factory() if callable(factory) else factory
+        metrics, _, max_mem = evaluation(
+            eval_model, state.params, state.batch_stats, scenes, mesh, rcfg,
+            output_dir=os.path.join(output_dir, "eval", name, str(opt_step)),
+            output_gt=(opt_step == 0), evaluate_input=(opt_step == 0),
+            lpips_fn=lpips_fn)
+        logger.info("eval %s step %d: %s (peak %.0f MB)", name, opt_step,
+                    " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
+                    max_mem)
