@@ -1,20 +1,30 @@
 """Tile binning: per-Gaussian tile ranges -> depth-sorted per-tile entry lists.
 
-TPU-native replacement for gsplat's CUDA radix-sort binning (SURVEY.md C14):
-no atomics or dynamic allocation — a static entry budget, vectorized scatter
-with out-of-range drop, and a single stable multi-key `lax.sort`.
+TPU-native replacement for gsplat's CUDA radix-sort binning (SURVEY.md C14),
+designed around measured TPU primitive costs: `lax.sort` is fast (~1.7 ms for
+262k key/value pairs on v5e) while scatters run at ~100M elem/s on the scalar
+core — so this pipeline is built exclusively from sorts, gathers and
+searchsorted; no scatter touches the hot path.
 
 Pipeline:
-  1. per-Gaussian tile bbox + capped tile count (tiles_per_gauss)
-  2. exclusive cumsum -> entry offsets into a static budget (max_intersects)
-  3. vectorized expansion over (N, tiles_per_gauss) local slots -> scatter
-     (tile_id, depth, gauss_idx) entries
-  4. stable lexicographic sort on (tile_id, depth)  [matches gsplat's
-     (tile << 32 | depth_bits) radix sort, which is also stable]
-  5. per-tile [start, end) ranges via searchsorted
+  1. per-Gaussian tile bbox + tile counts;
+  2. tiered candidate expansion (static shapes, no scatter):
+     every Gaussian emits its first S1 tile slots; the top-K2 Gaussians by
+     tile count emit slots [S1, S2); the top-K3 emit [S2, tiles_per_gauss).
+     Object-scan scenes have tiny splats (1-4 tiles), so tier 1 covers almost
+     everything and the tiers bound worst-case cost; overflow beyond a
+     Gaussian's tier is cropped and counted in `num_dropped`;
+  3. one fused int32 sort key per candidate: tile id in the high bits,
+     quantized positive-float depth bits below (monotone bitcast trick; ties
+     break by Gaussian index via the stable sort, like a radix sort);
+  4. single stable `lax.sort_key_val` over all candidates; invalid slots
+     carry the sentinel key and sort to the tail; truncate to the
+     max_intersects budget;
+  5. per-tile [start, end) ranges via searchsorted.
 
-Entries beyond either cap are dropped and counted (`num_dropped`) — a Gaussian
-covering more than `tiles_per_gauss` tiles loses its farthest tiles only.
+`pad_tile_ranges` re-expresses the entry list with chunk-aligned exclusive
+per-tile ranges for the Pallas kernels — also gather-only (the padded slot ->
+source entry map is computed with a searchsorted over tile boundaries).
 """
 from __future__ import annotations
 
@@ -22,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from splatformer_tpu.ops.projection import ProjectedGaussians, tile_bbox
 
@@ -32,6 +43,13 @@ class TileBins(NamedTuple):
     tile_start: jnp.ndarray  # (num_tiles + 1,) int32 offsets into entry list
     num_entries: jnp.ndarray  # () int32 valid entries
     num_dropped: jnp.ndarray  # () int32 entries lost to caps
+
+
+# tier structure: (slots covered by every Gaussian, then top-K2 / top-K3 by
+# tile count). S3 is min(tiles_per_gauss, num_tiles).
+TIER1_SLOTS = 4
+TIER2_K, TIER2_SLOTS = 16384, 16
+TIER3_K = 4096
 
 
 def bin_gaussians(
@@ -46,60 +64,90 @@ def bin_gaussians(
     tiles_x = (img_width + tile_size - 1) // tile_size
     tiles_y = (img_height + tile_size - 1) // tile_size
     num_tiles = tiles_x * tiles_y
-    tpg = min(tiles_per_gauss, num_tiles)
+
+    s1 = min(TIER1_SLOTS, tiles_per_gauss, num_tiles)
+    s2 = min(TIER2_SLOTS, tiles_per_gauss, num_tiles)
+    s3 = min(tiles_per_gauss, num_tiles)
+    k2 = min(TIER2_K, n)
+    k3 = min(TIER3_K, n)
 
     tmin_x, tmin_y, tmax_x, tmax_y = tile_bbox(
         proj.xys, proj.radii, tile_size, tiles_x, tiles_y)
     alive = proj.num_tiles_hit > 0
-    span_w = tmax_x - tmin_x
-    count_full = jnp.where(alive, proj.num_tiles_hit, 0)
-    count = jnp.minimum(count_full, tpg)
-    offsets = jnp.cumsum(count) - count  # exclusive cumsum
-    total = offsets[-1] + count[-1] if n > 0 else jnp.int32(0)
+    span_w = jnp.maximum(tmax_x - tmin_x, 1)
+    count = jnp.where(alive, proj.num_tiles_hit, 0)
 
-    # Local slot s of Gaussian g covers tile (tmin_y + s // w, tmin_x + s % w).
-    slots = jnp.arange(tpg, dtype=jnp.int32)[None, :]        # (1, tpg)
-    w_safe = jnp.maximum(span_w, 1)[:, None]                 # (N, 1)
-    ty = tmin_y[:, None] + slots // w_safe
-    tx = tmin_x[:, None] + slots % w_safe
-    tile = ty * tiles_x + tx                                  # (N, tpg)
-    slot_valid = slots < count[:, None]
-    pos = offsets[:, None] + slots                            # (N, tpg)
-    pos = jnp.where(slot_valid, pos, max_intersects)          # drop invalid
+    # fused sort key: tile in high bits, quantized depth below (positive-float
+    # bitcast is monotone; gsplat packs (tile << 32 | depth_bits) for a 64-bit
+    # radix sort — one int32 key keeps lax.sort at half the payload)
+    tile_bits = max(1, int(np.ceil(np.log2(num_tiles + 2))))
+    depth_bits = 31 - tile_bits
+    assert depth_bits >= 12, (num_tiles, "image too large for int32 keys")
+    sentinel_key = jnp.int32((num_tiles + 1) << depth_bits)
+    depth_q = (jax.lax.bitcast_convert_type(
+        jnp.where(jnp.isfinite(proj.depths),
+                  jnp.maximum(proj.depths, 0.0), 0.0).astype(jnp.float32),
+        jnp.int32) >> (31 - depth_bits)) & ((1 << depth_bits) - 1)
 
-    sentinel = jnp.int32(num_tiles)
-    tile_ids = jnp.full((max_intersects,), sentinel, dtype=jnp.int32)
-    depths = jnp.full((max_intersects,), jnp.inf, dtype=proj.depths.dtype)
-    gidx = jnp.zeros((max_intersects,), dtype=jnp.int32)
+    def tier_candidates(g_idx: jnp.ndarray, slot_lo: int, slot_hi: int):
+        """Candidate (key, gauss) rows for slots [slot_lo, slot_hi) of the
+        given Gaussians — pure gathers/broadcasts."""
+        slots = jnp.arange(slot_lo, slot_hi, dtype=jnp.int32)[None, :]
+        w = span_w[g_idx][:, None]
+        ty = tmin_y[g_idx][:, None] + slots // w
+        tx = tmin_x[g_idx][:, None] + slots % w
+        tile = ty * tiles_x + tx
+        valid = slots < count[g_idx][:, None]
+        key = (tile << depth_bits) | depth_q[g_idx][:, None]
+        key = jnp.where(valid, key, sentinel_key)
+        gid = jnp.broadcast_to(g_idx[:, None], key.shape)
+        return key.reshape(-1), gid.reshape(-1)
 
-    flat_pos = pos.reshape(-1)
-    tile_ids = tile_ids.at[flat_pos].set(tile.reshape(-1).astype(jnp.int32),
-                                         mode="drop")
-    depth_b = jnp.broadcast_to(proj.depths[:, None], (n, tpg)).reshape(-1)
-    depths = depths.at[flat_pos].set(depth_b, mode="drop")
-    gidx_b = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, tpg)).reshape(-1)
-    gidx = gidx.at[flat_pos].set(gidx_b, mode="drop")
+    all_idx = jnp.arange(n, dtype=jnp.int32)
+    keys1, gid1 = tier_candidates(all_idx, 0, s1)
+    parts_k, parts_g = [keys1], [gid1]
+    emitted = jnp.sum(jnp.minimum(count, s1))
+    if s2 > s1:
+        _, idx2 = jax.lax.top_k(count, k2)
+        keys2, gid2 = tier_candidates(idx2.astype(jnp.int32), s1, s2)
+        parts_k.append(keys2)
+        parts_g.append(gid2)
+        emitted += jnp.sum(jnp.clip(count[idx2], s1, s2) - s1)
+    if s3 > s2:
+        _, idx3 = jax.lax.top_k(count, k3)
+        keys3, gid3 = tier_candidates(idx3.astype(jnp.int32), s2, s3)
+        parts_k.append(keys3)
+        parts_g.append(gid3)
+        emitted += jnp.sum(jnp.clip(count[idx3], s2, s3) - s2)
 
-    tile_ids, depths, gidx = jax.lax.sort(
-        (tile_ids, depths, gidx), num_keys=2, is_stable=True)
+    keys = jnp.concatenate(parts_k)
+    gidx = jnp.concatenate(parts_g)
+    if keys.shape[0] < max_intersects:
+        pad = max_intersects - keys.shape[0]
+        keys = jnp.concatenate([keys, jnp.full((pad,), sentinel_key,
+                                               jnp.int32)])
+        gidx = jnp.concatenate([gidx, jnp.zeros((pad,), jnp.int32)])
+
+    keys, gidx = jax.lax.sort_key_val(keys, gidx, is_stable=True)
+    keys = keys[:max_intersects]
+    gidx = gidx[:max_intersects]
+    tile_ids = jnp.minimum(keys >> depth_bits, num_tiles).astype(jnp.int32)
 
     tile_start = jnp.searchsorted(
         tile_ids, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    num_entries = jnp.minimum(total, max_intersects).astype(jnp.int32)
-    num_dropped = (jnp.sum(count_full) - num_entries).astype(jnp.int32)
+    num_entries = jnp.minimum(emitted, max_intersects).astype(jnp.int32)
+    num_dropped = (jnp.sum(count) - num_entries).astype(jnp.int32)
     return TileBins(gauss_idx=gidx, tile_ids=tile_ids, tile_start=tile_start,
                     num_entries=num_entries, num_dropped=num_dropped)
 
 
 class PaddedTileBins(NamedTuple):
-    """Entry list repacked so every tile's range is chunk-aligned: tile t owns
-    [tile_start[t], tile_start[t+1]) with both ends multiples of `chunk`, and
-    padding slots inside a range are marked invalid (rendered inert by zero
-    opacity). This gives the Pallas kernels exclusive, aligned chunks per tile
-    — no cross-tile DMA write races in the backward pass."""
+    """Entry list re-expressed with chunk-aligned exclusive per-tile ranges:
+    tile t owns [tile_start[t], tile_start[t+1]) with both ends multiples of
+    `chunk`; padding slots inside a range are invalid (zero opacity renders
+    them inert). Gives the Pallas kernels race-free aligned DMA windows."""
 
     gauss_idx: jnp.ndarray    # (budget,) int32
     valid: jnp.ndarray        # (budget,) bool
@@ -109,19 +157,26 @@ class PaddedTileBins(NamedTuple):
 def pad_tile_ranges(bins: TileBins, num_tiles: int, chunk: int,
                     max_intersects: int) -> PaddedTileBins:
     budget = max_intersects + num_tiles * chunk
+    budget = ((budget + chunk - 1) // chunk) * chunk
     counts = bins.tile_start[1:] - bins.tile_start[:-1]           # (T,)
     counts_p = ((counts + chunk - 1) // chunk) * chunk
     new_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_p)]).astype(jnp.int32)
 
-    i_total = bins.gauss_idx.shape[0]
-    pos = jnp.arange(i_total, dtype=jnp.int32)
-    tid = jnp.clip(bins.tile_ids, 0, num_tiles - 1)
-    ok = bins.tile_ids < num_tiles
-    new_pos = new_start[tid] + (pos - bins.tile_start[tid])
-    new_pos = jnp.where(ok, new_pos, budget)
-
-    gidx = jnp.zeros((budget,), jnp.int32).at[new_pos].set(
-        bins.gauss_idx, mode="drop")
-    valid = jnp.zeros((budget,), bool).at[new_pos].set(ok, mode="drop")
+    # gather-only repack: padded slot p belongs to the tile that owns its
+    # chunk. Padded starts are chunk multiples, so resolve tile-of-chunk with
+    # a searchsorted over budget/chunk queries (128x fewer than per-entry)
+    # and broadcast within chunks — per-entry searchsorted measured 32 ms on
+    # v5e vs ~1 ms for this form.
+    n_chunks = budget // chunk
+    chunk_pos = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    tile_of_chunk = (jnp.searchsorted(new_start, chunk_pos, side="right") - 1)
+    tile_of_chunk = jnp.clip(tile_of_chunk, 0, num_tiles - 1).astype(jnp.int32)
+    tile_of = jnp.repeat(tile_of_chunk, chunk)
+    pos = jnp.arange(budget, dtype=jnp.int32)
+    local = pos - new_start[tile_of]
+    valid = (local >= 0) & (local < counts[tile_of]) & \
+        (pos < new_start[num_tiles])
+    src = jnp.clip(bins.tile_start[tile_of] + local, 0, max_intersects - 1)
+    gidx = jnp.where(valid, bins.gauss_idx[src], 0)
     return PaddedTileBins(gauss_idx=gidx, valid=valid, tile_start=new_start)

@@ -127,81 +127,90 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         return pxs, pys
 
     # ------------------------------------------------------------- forward
-    def fwd_kernel(tile_start_ref, packed_ref, out_ref, ebuf, sem):
+    def fwd_kernel(tile_start_ref, packed_ref, out_ref, ebuf, sbuf, sem):
         t = pl.program_id(0)
         start = tile_start_ref[t]
         nchunks = (tile_start_ref[t + 1] - start) // chunk
         pxs, pys = pixel_coords(t)
+        # per-tile state in VMEM columns: [r, g, b, T, done, 0, 0, 0]
+        init_cols = jnp.concatenate(
+            [jnp.zeros((p, 3), jnp.float32), jnp.ones((p, 1), jnp.float32),
+             jnp.zeros((p, 4), jnp.float32)], axis=1)
+        sbuf[:, :] = init_cols
 
         def cond(carry):
-            k, _, _, _, _, done = carry
-            return (k < nchunks) & jnp.logical_not(jnp.all(done))
+            k, all_done = carry
+            return (k < nchunks) & jnp.logical_not(all_done)
 
         def body(carry):
-            k, r, g, b, t_in, done = carry
+            k, _ = carry
             dma = pltpu.make_async_copy(
                 packed_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk), chunk)],
                 ebuf, sem)
             dma.start()
             dma.wait()
             e = ebuf[:, :]
+            t_in = sbuf[:, 3:4]
+            done = sbuf[:, 4:5] > 0.5
             q = _chunk_quantities(e, pxs, pys, t_in, done, athr, amax, eps)
-            r = r + jnp.sum(q["vis"] * e[6:7, :], axis=-1, keepdims=True)
-            g = g + jnp.sum(q["vis"] * e[7:8, :], axis=-1, keepdims=True)
-            b = b + jnp.sum(q["vis"] * e[8:9, :], axis=-1, keepdims=True)
-            return k + 1, r, g, b, q["t_out"], q["done_out"]
+            rgb_new = sbuf[:, 0:3] + jnp.concatenate(
+                [jnp.sum(q["vis"] * e[6 + ch:7 + ch, :], axis=-1,
+                         keepdims=True) for ch in range(3)], axis=1)
+            done_new = q["done_out"].astype(jnp.float32)
+            sbuf[:, :] = jnp.concatenate(
+                [rgb_new, q["t_out"], done_new,
+                 jnp.zeros((p, 3), jnp.float32)], axis=1)
+            return k + 1, jnp.all(done_new > 0.5)
 
-        zero = jnp.zeros((p, 1), jnp.float32)
-        init = (jnp.int32(0), zero, zero, zero,
-                jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), bool))
-        _, r, g, b, t_out, _ = jax.lax.while_loop(cond, body, init)
-        # pack [r, g, b, T] rows -> (4, P)
-        out_ref[0] = jnp.concatenate(
-            [r.reshape(1, p), g.reshape(1, p), b.reshape(1, p),
-             t_out.reshape(1, p)], axis=0)
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+        out_ref[0] = sbuf[:, 0:4]
 
     grid_fwd = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=[pl.BlockSpec((1, 4, p), lambda t, s: (t, 0, 0),
+        out_specs=[pl.BlockSpec((1, p, 4), lambda t, s: (t, 0, 0),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((PACK_W, chunk), jnp.float32),
+                        pltpu.VMEM((p, 8), jnp.float32),
                         pltpu.SemaphoreType.DMA(())])
     fwd_call = pl.pallas_call(
         fwd_kernel,
         grid_spec=grid_fwd,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, 4, p), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, 4), jnp.float32)],
         interpret=interpret)
 
     # ------------------------------------------------------------ backward
     def bwd_kernel(tile_start_ref, packed_ref, g_out_ref, out_saved_ref,
-                   dout_ref, ebuf, obuf, sem_in, sem_out):
+                   dout_ref, ebuf, obuf, sbuf, sem_in, sem_out):
         t = pl.program_id(0)
         start = tile_start_ref[t]
         nchunks = (tile_start_ref[t + 1] - start) // chunk
         pxs, pys = pixel_coords(t)
-        gr = g_out_ref[0, 0, :].reshape(p, 1)
-        gg = g_out_ref[0, 1, :].reshape(p, 1)
-        gb = g_out_ref[0, 2, :].reshape(p, 1)
-        gT = g_out_ref[0, 3, :].reshape(p, 1)
-        acc_r = out_saved_ref[0, 0, :].reshape(p, 1)
-        acc_g = out_saved_ref[0, 1, :].reshape(p, 1)
-        acc_b = out_saved_ref[0, 2, :].reshape(p, 1)
-        t_fin = out_saved_ref[0, 3, :].reshape(p, 1)
-        s_total = gr * acc_r + gg * acc_g + gb * acc_b   # (P, 1)
-        gt_term = gT * t_fin                              # (P, 1)
+        gr = g_out_ref[0][:, 0:1]
+        gg = g_out_ref[0][:, 1:2]
+        gb = g_out_ref[0][:, 2:3]
+        gT = g_out_ref[0][:, 3:4]
+        acc = out_saved_ref[0]                         # (p, 4)
+        s_total = (gr * acc[:, 0:1] + gg * acc[:, 1:2] + gb * acc[:, 2:3])
+        gt_term = gT * acc[:, 3:4]                     # (p, 1)
+        # state columns: [T, done, s_rem, ...]
+        sbuf[:, :] = jnp.concatenate(
+            [jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
+             s_total, jnp.zeros((p, 5), jnp.float32)], axis=1)
 
-        def body(k, carry):
-            t_in, done, s_rem = carry
+        def body(k, _):
             dma = pltpu.make_async_copy(
                 packed_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk), chunk)],
                 ebuf, sem_in)
             dma.start()
             dma.wait()
             e = ebuf[:, :]
+            t_in = sbuf[:, 0:1]
+            done = sbuf[:, 1:2] > 0.5
+            s_rem = sbuf[:, 2:3]
             q = _chunk_quantities(e, pxs, pys, t_in, done, athr, amax, eps)
-            gc = e[6:7, :] * gr + e[7:8, :] * gg + e[8:9, :] * gb  # (P, C)
+            gc = e[6:7, :] * gr + e[7:8, :] * gg + e[8:9, :] * gb  # (p, C)
             terms = jnp.where(q["contrib"], gc * q["vis"], 0.0)
             pre_incl = _cumsum_lanes(terms)
             s_after = s_rem - pre_incl
@@ -233,26 +242,28 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
                 sem_out)
             dma_out.start()
             dma_out.wait()
-            s_rem = s_rem - jnp.sum(terms, axis=-1, keepdims=True)
-            return q["t_out"], q["done_out"], s_rem
+            s_rem_new = s_rem - jnp.sum(terms, axis=-1, keepdims=True)
+            sbuf[:, :] = jnp.concatenate(
+                [q["t_out"], q["done_out"].astype(jnp.float32), s_rem_new,
+                 jnp.zeros((p, 5), jnp.float32)], axis=1)
+            return 0
 
-        init = (jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), bool),
-                s_total)
-        jax.lax.fori_loop(0, nchunks, body, init)
+        jax.lax.fori_loop(0, nchunks, body, 0)
 
     grid_bwd = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, 4, p), lambda t, s: (t, 0, 0),
+            pl.BlockSpec((1, p, 4), lambda t, s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, p), lambda t, s: (t, 0, 0),
+            pl.BlockSpec((1, p, 4), lambda t, s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[pltpu.VMEM((PACK_W, chunk), jnp.float32),
                         pltpu.VMEM((PACK_W, chunk), jnp.float32),
+                        pltpu.VMEM((p, 8), jnp.float32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(())])
     bwd_call = pl.pallas_call(
@@ -311,11 +322,11 @@ def composite_tiles_pallas(
         float(max_alpha), float(transmittance_eps), budget, bool(interpret))
     out = composite(packed_t, tile_start)
     ts = tile_size
-    rgb = (out[:, 0:3, :].transpose(0, 2, 1)
+    rgb = (out[:, :, 0:3]
            .reshape(tiles_y, tiles_x, ts, ts, 3)
            .transpose(0, 2, 1, 3, 4)
            .reshape(tiles_y * ts, tiles_x * ts, 3))
-    t_img = (out[:, 3, :].reshape(tiles_y, tiles_x, ts, ts)
+    t_img = (out[:, :, 3].reshape(tiles_y, tiles_x, ts, ts)
              .transpose(0, 2, 1, 3)
              .reshape(tiles_y * ts, tiles_x * ts))
     rgb = rgb[:img_height, :img_width]

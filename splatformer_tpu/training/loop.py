@@ -247,12 +247,16 @@ def evaluation(model, params, batch_stats, scene_list, mesh,
 
     mc.write_to_file(os.path.join(
         output_dir, f"metrics.rank{jax.process_index()}.json"))
-    metrics = mc.finalize()
+    # cross-process per-image means (dist.reduce semantics, train.py:170-191)
+    from splatformer_tpu.parallel.distributed import reduce_metric_sums
+    n_images = float(sum(arr.size for arr in
+                         next(iter(mc.results.values()), [])))
+    metrics = reduce_metric_sums(mc.sum(), n_images)
     metrics_input = {}
     if compare_with_input:
         mc_input.write_to_file(os.path.join(
             output_dir, f"metrics_input.rank{jax.process_index()}.json"))
-        metrics_input = mc_input.finalize()
+        metrics_input = reduce_metric_sums(mc_input.sum(), n_images)
     return metrics, metrics_input, device_peak_memory_mb()
 
 
@@ -312,6 +316,9 @@ def run_training(cfg, output_dir: str,
                               image_l1_loss_weight=cfg.train.image_l1_loss_weight,
                               lpips_loss_weight=lpips_w,
                               lpips_params=lpips_params)
+    pretrain_steps = int(cfg.train.get("pretrain_steps", 0))
+    pretrain_fn = (make_train_step(model, tx, mesh, rcfg, pretrain=True)
+                   if pretrain_steps > 0 else None)
     rng = jax.random.key(cfg.train.seed + 1)
 
     with open(os.path.join(output_dir, "config.json"), "w") as f:
@@ -324,7 +331,9 @@ def run_training(cfg, output_dir: str,
     history = []
     for step in range(int(state.step), total * accum):
         opt_step = step // accum
-        state, metrics = step_fn(state, shard_batch(mesh, batch), rng)
+        fn = pretrain_fn if (pretrain_fn is not None
+                             and opt_step < pretrain_steps) else step_fn
+        state, metrics = fn(state, shard_batch(mesh, batch), rng)
         if (opt_step % cfg.train.log_interval == 0 and step % accum == 0):
             m = {k: float(jnp.asarray(v)) for k, v in metrics.items()}
             m["steps_per_s"] = (step + 1) / (time.time() - t0)

@@ -16,6 +16,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from jax.sharding import PartitionSpec as P
@@ -59,8 +60,17 @@ def init_state(model, tx, example_scene: GaussianScene,
 def make_train_step(model, tx, mesh, raster_config: RasterizeConfig,
                     image_l1_loss_weight: float = 1.0,
                     lpips_loss_weight: float = 0.0,
-                    lpips_params: Optional[dict] = None):
-    """Returns jitted step(state, batch, rng) -> (state, metrics)."""
+                    lpips_params: Optional[dict] = None,
+                    pretrain: bool = False,
+                    pretrain_attrs: Tuple[str, ...] = (
+                        "means", "scales", "quats", "opacities",
+                        "features_dc", "features_rest")):
+    """Returns jitted step(state, batch, rng) -> (state, metrics).
+
+    pretrain=True reproduces the reference's pretrain phase contract
+    (train.py:245-266 + the gin-declared create_pseudo_target): per-attribute
+    L1 between the refined Gaussians and the (stop-gradient) input attributes
+    — no rendering involved."""
     lpips_model = LPIPS() if (lpips_loss_weight > 0 and lpips_params) else None
 
     def per_device(state: TrainState, batch: SceneBatch, rng: jax.Array):
@@ -77,17 +87,32 @@ def make_train_step(model, tx, mesh, raster_config: RasterizeConfig,
             (refined, _), mut = model.apply(
                 variables, batch.scene, True, rngs=rngs,
                 mutable=["batch_stats"])
-            rgb, _ = render_images(refined, batch.cameras, batch.background,
-                                   raster_config)
-            l1 = jnp.mean(jnp.abs(rgb - batch.images))
-            loss = image_l1_loss_weight * l1
-            metrics = {"image_l1": l1,
-                       "train_psnr": jnp.mean(psnr(rgb, batch.images))}
-            if lpips_model is not None:
-                lp = jnp.mean(lpips_model.apply(
-                    {"params": lpips_params}, rgb, batch.images))
-                loss = loss + lpips_loss_weight * lp
-                metrics["lpips"] = lp
+            metrics = {}
+            if pretrain:
+                mask = batch.scene.valid_mask()
+                denom = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+                loss = 0.0
+                for key in pretrain_attrs:
+                    target = jax.lax.stop_gradient(getattr(batch.scene, key))
+                    pred = getattr(refined, key)
+                    m = mask.reshape((-1,) + (1,) * (pred.ndim - 1))
+                    per_attr = (jnp.sum(jnp.abs(pred - target) * m)
+                                / (denom * float(np.prod(pred.shape[1:]))))
+                    metrics[f"pretrain/{key}"] = per_attr
+                    loss = loss + per_attr
+                metrics["pretrain_loss"] = loss
+            else:
+                rgb, _ = render_images(refined, batch.cameras,
+                                       batch.background, raster_config)
+                l1 = jnp.mean(jnp.abs(rgb - batch.images))
+                loss = image_l1_loss_weight * l1
+                metrics["image_l1"] = l1
+                metrics["train_psnr"] = jnp.mean(psnr(rgb, batch.images))
+                if lpips_model is not None:
+                    lp = jnp.mean(lpips_model.apply(
+                        {"params": lpips_params}, rgb, batch.images))
+                    loss = loss + lpips_loss_weight * lp
+                    metrics["lpips"] = lp
             metrics["total_loss"] = loss
             return loss, (mut.get("batch_stats", state.batch_stats), metrics)
 

@@ -133,11 +133,14 @@ def test_binning_covers_each_overlap_once(rng):
         ty, tx = divmod(t, tiles_x)
         x0, y0 = tx * 16, ty * 16
         assert xys[g, 0] + radii[g] >= x0 - 16 and xys[g, 0] - radii[g] <= x0 + 32
-    # depth-sorted within tile
+    # depth-sorted within tile (up to the single-key quantization step:
+    # the fused sort key keeps the top depth bits; ties fall back to stable
+    # gaussian-index order, so inversions are bounded by the quant step)
     depths = np.asarray(proj.depths)[gidx]
     for t in np.unique(tile_ids):
         d = depths[tile_ids == t]
-        assert np.all(np.diff(d) >= 0)
+        if len(d) > 1:
+            assert np.all(np.diff(d) >= -np.abs(d).max() * 2**-11)
     # tile_start ranges partition entries
     starts = np.asarray(bins.tile_start)
     assert starts[0] == 0 and starts[-1] == n_entries
