@@ -82,14 +82,34 @@ class SerializedAttention(nn.Module):
                     merge_mode, info) else None)
             size_bias = jnp.log(size)  # proportional attention
 
-        attn = jnp.einsum("bhqc,bhkc->bhqk", q * scale, kk,
-                          preferred_element_type=jnp.float32)
-        if size_bias is not None:
-            # visualize.py:170-174 — attn = attn + size.log()
-            attn = attn + size_bias
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(feat.dtype)
-        out = jnp.einsum("bhqk,bhkc->bhqc", attn, v,
-                         preferred_element_type=jnp.float32).astype(feat.dtype)
+        # Flash path (reference enable_flash: varlen flash-attn at patch 1024,
+        # models/pointtransformer_v3.py:121-126): fixed-size patches make this
+        # a plain batched attention, served by the bundled Pallas TPU flash
+        # kernel. Proportional attention (merging size bias) needs the
+        # explicit logits, so it uses the einsum path at the reduced K'.
+        use_flash = (size_bias is None and q.shape[-2] >= 256
+                     and jax.default_backend() == "tpu")
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
+            d = q.shape[-1]
+            d_pad = max(128, ((d + 127) // 128) * 128)
+            if d_pad != d:
+                padw = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
+                qf, kf, vf = (jnp.pad(t, padw) for t in (q, kk, v))
+            else:
+                qf, kf, vf = q, kk, v
+            out = fa.flash_attention(qf, kf, vf, sm_scale=scale)[..., :d]
+            out = out.astype(feat.dtype)
+        else:
+            attn = jnp.einsum("bhqc,bhkc->bhqk", q * scale, kk,
+                              preferred_element_type=jnp.float32)
+            if size_bias is not None:
+                # visualize.py:170-174 — attn = attn + size.log()
+                attn = attn + size_bias
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(feat.dtype)
+            out = jnp.einsum("bhqk,bhkc->bhqc", attn, v,
+                             preferred_element_type=jnp.float32).astype(feat.dtype)
         if unmerge is not None:
             out = unmerge(out)  # back to (B, H, K, ch)
         out = out.transpose(0, 2, 1, 3).reshape(n, c)
@@ -143,7 +163,31 @@ class Block(nn.Module):
 
         shortcut = feat
         h = nn.LayerNorm(name="norm2")(feat)
-        h = Mlp(hidden=int(c * self.mlp_ratio), out=c, name="mlp")(h)
+        info = self.additional_info or {}
+        merge_mode = info.get("tome", "base")
+        merge_r = float(info.get("r", 0.0) or 0.0)
+        mlp = Mlp(hidden=int(c * self.mlp_ratio), out=c, name="mlp")
+        if (info.get("tome_mlp") and merge_r > 0.0
+                and merge_mode not in ("base", None, "none")):
+            # fork's tome_mlp: run the block MLP on merged patch tokens
+            # (SURVEY.md §2.4), reconstructed with an independent merge over
+            # the serialized patches of the MLP input
+            from splatformer_tpu.ops import merging as merging_ops
+            k = self.patch_size
+            n = h.shape[0]
+            order = pad_order_for_patches(
+                pb.order_perm[self.order_index], pb.n_valid, k)
+            inverse = pb.inverse_perm[self.order_index]
+            hseq = h[order].reshape(n // k, 1, k, c)
+            _, _, vtok, _, unmerge = merging_ops.process_merging(
+                merge_mode, hseq, hseq, hseq, info,
+                rng=self.make_rng("merging") if train and
+                merging_ops.needs_rng(merge_mode, info) else None)
+            kp = vtok.shape[-2]
+            m = mlp(vtok.reshape(-1, c)).reshape(n // k, 1, kp, c)
+            h = unmerge(m).reshape(n, c)[inverse]
+        else:
+            h = mlp(h)
         h = DropPath(self.drop_path)(h, train)
         feat = shortcut + h
         return pb.replace(feat=feat)

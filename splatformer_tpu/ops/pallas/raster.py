@@ -53,6 +53,14 @@ def pack_entries_t(xy, conic, color, opac) -> jnp.ndarray:
     return jnp.pad(out, ((0, 0), (0, n_pad - n)))
 
 
+def gather_packed_entries(pgauss_t: jnp.ndarray, gidx: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Per-gaussian packed attributes (PACK_W, N) -> per-entry (PACK_W,
+    budget) via ONE gather along lanes (padding slots resolve to gaussian 0
+    and are masked in-kernel by the true per-tile counts)."""
+    return pgauss_t[:, gidx]
+
+
 def _shift_right(v, s, identity):
     """Shift along lanes: out[:, i] = v[:, i-s], first s columns = identity."""
     pad = jnp.full(v.shape[:-1] + (s,), identity, v.dtype)
@@ -75,13 +83,17 @@ def _cumsum_lanes(v):
     return v
 
 
-def _chunk_quantities(e, pxs, pys, t_in, done_in, athr, amax, eps):
+def _chunk_quantities(e, pxs, pys, t_in, done_in, athr, amax, eps,
+                      lane_valid=None):
     """Shared fwd/bwd math for one (P, C) block.
 
-    e: (PACK_W, C) attribute rows; pxs/pys: (P, 1); t_in/done_in: (P, 1)."""
+    e: (PACK_W, C) attribute rows; pxs/pys: (P, 1); t_in/done_in: (P, 1);
+    lane_valid: (1, C) mask of real (non-padding) entries in this chunk."""
     x, y = e[0:1, :], e[1:2, :]
     c0, c1, c2 = e[2:3, :], e[3:4, :], e[4:5, :]
     op = e[5:6, :]
+    if lane_valid is not None:
+        op = jnp.where(lane_valid, op, 0.0)
     dx = x - pxs       # (P, C)
     dy = y - pys
     sigma = 0.5 * (c0 * dx * dx + c2 * dy * dy) + c1 * dx * dy
@@ -131,6 +143,8 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         t = pl.program_id(0)
         start = tile_start_ref[t]
         nchunks = (tile_start_ref[t + 1] - start) // chunk
+        count = tile_start_ref[num_tiles + 1 + t]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         pxs, pys = pixel_coords(t)
         # per-tile state in VMEM columns: [r, g, b, T, done, 0, 0, 0]
         init_cols = jnp.concatenate(
@@ -152,7 +166,9 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             e = ebuf[:, :]
             t_in = sbuf[:, 3:4]
             done = sbuf[:, 4:5] > 0.5
-            q = _chunk_quantities(e, pxs, pys, t_in, done, athr, amax, eps)
+            lane_valid = (k * chunk + lane) < count
+            q = _chunk_quantities(e, pxs, pys, t_in, done, athr, amax, eps,
+                                  lane_valid)
             rgb_new = sbuf[:, 0:3] + jnp.concatenate(
                 [jnp.sum(q["vis"] * e[6 + ch:7 + ch, :], axis=-1,
                          keepdims=True) for ch in range(3)], axis=1)
@@ -186,6 +202,8 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         t = pl.program_id(0)
         start = tile_start_ref[t]
         nchunks = (tile_start_ref[t + 1] - start) // chunk
+        count = tile_start_ref[num_tiles + 1 + t]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         pxs, pys = pixel_coords(t)
         gr = g_out_ref[0][:, 0:1]
         gg = g_out_ref[0][:, 1:2]
@@ -209,7 +227,9 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             t_in = sbuf[:, 0:1]
             done = sbuf[:, 1:2] > 0.5
             s_rem = sbuf[:, 2:3]
-            q = _chunk_quantities(e, pxs, pys, t_in, done, athr, amax, eps)
+            lane_valid = (k * chunk + lane) < count
+            q = _chunk_quantities(e, pxs, pys, t_in, done, athr, amax, eps,
+                                  lane_valid)
             gc = e[6:7, :] * gr + e[7:8, :] * gg + e[8:9, :] * gb  # (p, C)
             terms = jnp.where(q["contrib"], gc * q["vis"], 0.0)
             pre_incl = _cumsum_lanes(terms)
@@ -302,25 +322,24 @@ def _cached_calls(*args):
     return _make_calls(*args)
 
 
-def composite_tiles_pallas(
-    entry_xy, entry_conic, entry_color, entry_opac, tile_start,
+def composite_packed(
+    packed_t: jnp.ndarray, tile_start: jnp.ndarray, tile_counts: jnp.ndarray,
     img_height: int, img_width: int, tile_size: int, background,
     alpha_threshold: float = 1.0 / 255.0, max_alpha: float = 0.999,
-    transmittance_eps: float = 1e-4, chunk: int = CHUNK,
-    interpret: bool | None = None,
+    transmittance_eps: float = 1e-4, interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Same contract as compositing.composite_tiles but requires the
-    chunk-aligned (chunk == 128) entry layout from binning.pad_tile_ranges,
-    with invalid rows carrying opacity 0."""
-    assert chunk == CHUNK, "pallas path uses 128-entry chunks"
+    """Core entry point: pre-packed (PACK_W, budget) entries with chunk-
+    aligned exclusive tile ranges; `tile_counts` gives each tile's true entry
+    count (padding lanes are masked in-kernel)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    packed_t = pack_entries_t(entry_xy, entry_conic, entry_color, entry_opac)
     budget = packed_t.shape[1]
     composite, (tiles_x, tiles_y, num_tiles, p) = _cached_calls(
         img_height, img_width, tile_size, float(alpha_threshold),
         float(max_alpha), float(transmittance_eps), budget, bool(interpret))
-    out = composite(packed_t, tile_start)
+    meta = jnp.concatenate([tile_start.astype(jnp.int32),
+                            tile_counts.astype(jnp.int32)])
+    out = composite(packed_t, meta)
     ts = tile_size
     rgb = (out[:, :, 0:3]
            .reshape(tiles_y, tiles_x, ts, ts, 3)
@@ -333,3 +352,22 @@ def composite_tiles_pallas(
     t_img = t_img[:img_height, :img_width]
     rgb = rgb + t_img[..., None] * background[None, None, :]
     return rgb, 1.0 - t_img
+
+
+def composite_tiles_pallas(
+    entry_xy, entry_conic, entry_color, entry_opac, tile_start,
+    img_height: int, img_width: int, tile_size: int, background,
+    alpha_threshold: float = 1.0 / 255.0, max_alpha: float = 0.999,
+    transmittance_eps: float = 1e-4, chunk: int = CHUNK,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-entry-array wrapper (compositing.composite_tiles contract); the
+    caller must already have zeroed padding opacities, so tile_counts covers
+    the whole padded ranges."""
+    assert chunk == CHUNK, "pallas path uses 128-entry chunks"
+    packed_t = pack_entries_t(entry_xy, entry_conic, entry_color, entry_opac)
+    counts = tile_start[1:] - tile_start[:-1]
+    return composite_packed(packed_t, tile_start, counts, img_height,
+                            img_width, tile_size, background,
+                            alpha_threshold, max_alpha, transmittance_eps,
+                            interpret)

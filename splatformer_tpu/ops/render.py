@@ -92,17 +92,20 @@ def render_image(
 
     if config.resolved_use_pallas():
         from splatformer_tpu.ops.binning import pad_tile_ranges
-        from splatformer_tpu.ops.pallas.raster import (CHUNK,
-                                                       composite_tiles_pallas)
+        from splatformer_tpu.ops.pallas.raster import (CHUNK, composite_packed,
+                                                       gather_packed_entries,
+                                                       pack_entries_t)
         tiles_x = (camera.width + config.tile_size - 1) // config.tile_size
         tiles_y = (camera.height + config.tile_size - 1) // config.tile_size
         pbins = pad_tile_ranges(bins, tiles_x * tiles_y, CHUNK,
                                 config.max_intersects)
-        gidx = pbins.gauss_idx
-        rgb, alpha = composite_tiles_pallas(
-            proj.xys[gidx], proj.conics[gidx], colors[gidx],
-            jnp.where(pbins.valid, opacities[gidx], 0.0),
-            pbins.tile_start,
+        # pack once per Gaussian, gather once per entry; padding lanes are
+        # masked in-kernel via the true per-tile counts
+        pgauss_t = pack_entries_t(proj.xys, proj.conics, colors, opacities)
+        packed_t = gather_packed_entries(pgauss_t, pbins.gauss_idx)
+        counts = bins.tile_start[1:] - bins.tile_start[:-1]
+        rgb, alpha = composite_packed(
+            packed_t, pbins.tile_start, counts,
             camera.height, camera.width, config.tile_size, background,
             alpha_threshold=config.alpha_threshold,
             max_alpha=config.max_alpha,
