@@ -152,18 +152,30 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
              jnp.zeros((p, 4), jnp.float32)], axis=1)
         sbuf[:, :] = init_cols
 
+        def chunk_dma(slot, k):
+            return pltpu.make_async_copy(
+                packed_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk,
+                                                      chunk), chunk)],
+                ebuf.at[slot], sem.at[slot])
+
+        @pl.when(nchunks > 0)
+        def _():
+            chunk_dma(0, 0).start()
+
         def cond(carry):
             k, all_done = carry
             return (k < nchunks) & jnp.logical_not(all_done)
 
         def body(carry):
             k, _ = carry
-            dma = pltpu.make_async_copy(
-                packed_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk), chunk)],
-                ebuf, sem)
-            dma.start()
-            dma.wait()
-            e = ebuf[:, :]
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < nchunks)
+            def _():
+                chunk_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+            chunk_dma(slot, k).wait()
+            e = ebuf[slot]
             t_in = sbuf[:, 3:4]
             done = sbuf[:, 4:5] > 0.5
             lane_valid = (k * chunk + lane) < count
@@ -178,7 +190,15 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
                  jnp.zeros((p, 3), jnp.float32)], axis=1)
             return k + 1, jnp.all(done_new > 0.5)
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+        k_final, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.bool_(False)))
+
+        # early transmittance exit leaves the k_final prefetch in flight —
+        # drain it or the device aborts on an outstanding DMA
+        @pl.when(k_final < nchunks)
+        def _():
+            chunk_dma(jax.lax.rem(k_final, 2), k_final).wait()
+
         out_ref[0] = sbuf[:, 0:4]
 
     grid_fwd = pltpu.PrefetchScalarGridSpec(
@@ -187,9 +207,9 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[pl.BlockSpec((1, p, 4), lambda t, s: (t, 0, 0),
                                 memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((PACK_W, chunk), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
                         pltpu.VMEM((p, 8), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())])
+                        pltpu.SemaphoreType.DMA((2,))])
     fwd_call = pl.pallas_call(
         fwd_kernel,
         grid_spec=grid_fwd,
@@ -217,13 +237,25 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             [jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
              s_total, jnp.zeros((p, 5), jnp.float32)], axis=1)
 
+        def chunk_dma(slot, k):
+            return pltpu.make_async_copy(
+                packed_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk,
+                                                      chunk), chunk)],
+                ebuf.at[slot], sem_in.at[slot])
+
+        @pl.when(nchunks > 0)
+        def _():
+            chunk_dma(0, 0).start()
+
         def body(k, _):
-            dma = pltpu.make_async_copy(
-                packed_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk), chunk)],
-                ebuf, sem_in)
-            dma.start()
-            dma.wait()
-            e = ebuf[:, :]
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < nchunks)
+            def _():
+                chunk_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+            chunk_dma(slot, k).wait()
+            e = ebuf[slot]
             t_in = sbuf[:, 0:1]
             done = sbuf[:, 1:2] > 0.5
             s_rem = sbuf[:, 2:3]
@@ -255,13 +287,22 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
                 jnp.sum(gb * q["vis"], axis=0, keepdims=True),
                 jnp.zeros((PACK_W - 9, chunk), jnp.float32),
             ]
-            obuf[:, :] = jnp.concatenate(rows, axis=0)
-            dma_out = pltpu.make_async_copy(
-                obuf,
-                dout_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk), chunk)],
-                sem_out)
-            dma_out.start()
-            dma_out.wait()
+            # alternate output buffers so the store DMA overlaps the next
+            # chunk's compute; wait for this slot's previous store first
+            @pl.when(k >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[slot],
+                    dout_ref.at[:, pl.ds(pl.multiple_of(
+                        (start + (k - 2) * chunk), chunk), chunk)],
+                    sem_out.at[slot]).wait()
+
+            obuf[slot] = jnp.concatenate(rows, axis=0)
+            pltpu.make_async_copy(
+                obuf.at[slot],
+                dout_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk),
+                                     chunk)],
+                sem_out.at[slot]).start()
             s_rem_new = s_rem - jnp.sum(terms, axis=-1, keepdims=True)
             sbuf[:, :] = jnp.concatenate(
                 [q["t_out"], q["done_out"].astype(jnp.float32), s_rem_new,
@@ -269,6 +310,16 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             return 0
 
         jax.lax.fori_loop(0, nchunks, body, 0)
+        # drain outstanding output stores (up to two in flight)
+        def drain(k, _):
+            slot = jax.lax.rem(k, 2)
+            pltpu.make_async_copy(
+                obuf.at[slot],
+                dout_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk),
+                                     chunk)],
+                sem_out.at[slot]).wait()
+            return 0
+        jax.lax.fori_loop(jnp.maximum(nchunks - 2, 0), nchunks, drain, 0)
 
     grid_bwd = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -281,11 +332,11 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        scratch_shapes=[pltpu.VMEM((PACK_W, chunk), jnp.float32),
-                        pltpu.VMEM((PACK_W, chunk), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
+                        pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
                         pltpu.VMEM((p, 8), jnp.float32),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(())])
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))])
     bwd_call = pl.pallas_call(
         bwd_kernel,
         grid_spec=grid_bwd,

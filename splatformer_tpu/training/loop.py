@@ -324,6 +324,16 @@ def run_training(cfg, output_dir: str,
     with open(os.path.join(output_dir, "config.json"), "w") as f:
         f.write(cfg.to_json(indent=2))
 
+    # scalar logging (wandb replacement, SURVEY.md §5.5): TensorBoard when
+    # available, always mirrored into history.json + train.log
+    tb = None
+    if jax.process_index() == 0:
+        try:
+            from tensorboardX import SummaryWriter
+            tb = SummaryWriter(os.path.join(output_dir, "tb"))
+        except Exception:
+            tb = None
+
     total = max_steps if max_steps is not None else cfg.train.total_steps
     accum = cfg.dataset.get("accumulate_step", 1)
     t0 = time.time()
@@ -340,6 +350,9 @@ def run_training(cfg, output_dir: str,
             history.append({"step": opt_step, **m})
             logger.info("step %d: %s", opt_step,
                         " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            if tb is not None:
+                for k, v in m.items():
+                    tb.add_scalar(k, v, opt_step)
         if (step % accum == 0 and cfg.train.eval_interval > 0
                 and opt_step > 0 and opt_step % cfg.train.eval_interval == 0):
             _run_evals(cfg, eval_model, state, test_factories, mesh, rcfg,

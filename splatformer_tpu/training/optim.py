@@ -88,3 +88,23 @@ def build_optimizer(
     if accumulate_steps > 1:
         out = optax.MultiSteps(out, every_k_schedule=accumulate_steps)
     return out
+
+
+def build_gs_optimizer(gs_params: Dict[str, jax.Array],
+                       lr_dict: Dict[str, float],
+                       optimizer_type: str = "adam",
+                       eps: float = 1e-15) -> optax.GradientTransformation:
+    """Per-attribute optimizer over raw Gaussian parameters (reference
+    build_3DGSoptimizer, utils/optimizers.py:18-37) — used for direct 3DGS
+    fitting rather than the feed-forward model path."""
+    labels = {k: k for k in gs_params}
+
+    def make_tx(attr: str):
+        lr = lr_dict.get(attr, lr_dict.get("base", 1e-3))
+        if optimizer_type.lower() == "adam":
+            return optax.adam(lr, eps=eps)
+        if optimizer_type.lower() == "sgd":
+            return optax.sgd(lr)
+        raise NotImplementedError(optimizer_type)
+
+    return optax.multi_transform({k: make_tx(k) for k in gs_params}, labels)

@@ -23,6 +23,13 @@ import pytest  # noqa: E402
 # remote-TPU claim per test process.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound on this 2-CPU
+# host; repeated runs hit the cache and finish in a fraction of the time.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 @pytest.fixture
 def rng():

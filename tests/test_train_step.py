@@ -147,3 +147,20 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_pretrain_step_identity_loss_zero():
+    # zero-init heads + residual outputs -> refined == input, so the pretrain
+    # per-attribute L1 (create_pseudo_target contract) must be ~0 at init
+    mesh = make_mesh(n_devices=2)
+    model = make_model(axis="data")
+    batch = shard_batch(mesh, make_batch(2))
+    example = jax.tree.map(lambda a: a[0], batch.scene)
+    params0 = model.init(jax.random.key(0), example, False)["params"]
+    tx = build_optimizer(params0, lr_dict={"base": 1e-3, "backbone": 1e-3},
+                         total_steps=10)
+    state = init_state(model, tx, example, jax.random.key(0))
+    step = make_train_step(model, tx, mesh, RCFG, pretrain=True)
+    state, metrics = step(state, batch, jax.random.key(1))
+    assert float(metrics["pretrain_loss"]) < 1e-5
+    assert "pretrain/means" in metrics

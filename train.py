@@ -44,6 +44,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    from splatformer_tpu.parallel.distributed import \
+        maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     from splatformer_tpu.configs import build_full_config
     from splatformer_tpu.models.lpips import make_lpips_fn
     from splatformer_tpu.ops.types import RasterizeConfig
