@@ -52,6 +52,25 @@ TIER2_K, TIER2_SLOTS = 16384, 16
 TIER3_K = 4096
 
 
+def key_depth_bits(num_tiles: int) -> int:
+    """Bits of the fused int32 sort key left for the quantized depth after
+    the tile id takes the high bits. Shared by binning and the gauss-axis
+    sharded exchange (parallel/gauss_shard.py), which must agree on the key
+    layout to merge per-shard sorted runs."""
+    tile_bits = max(1, int(np.ceil(np.log2(num_tiles + 2))))
+    depth_bits = 31 - tile_bits
+    assert depth_bits >= 12, (num_tiles, "image too large for int32 keys")
+    return depth_bits
+
+
+def quantize_depths(depths: jnp.ndarray, depth_bits: int) -> jnp.ndarray:
+    """Monotone positive-float -> depth_bits-bit integer (bitcast trick)."""
+    return (jax.lax.bitcast_convert_type(
+        jnp.where(jnp.isfinite(depths),
+                  jnp.maximum(depths, 0.0), 0.0).astype(jnp.float32),
+        jnp.int32) >> (31 - depth_bits)) & ((1 << depth_bits) - 1)
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     img_height: int,
@@ -80,14 +99,9 @@ def bin_gaussians(
     # fused sort key: tile in high bits, quantized depth below (positive-float
     # bitcast is monotone; gsplat packs (tile << 32 | depth_bits) for a 64-bit
     # radix sort — one int32 key keeps lax.sort at half the payload)
-    tile_bits = max(1, int(np.ceil(np.log2(num_tiles + 2))))
-    depth_bits = 31 - tile_bits
-    assert depth_bits >= 12, (num_tiles, "image too large for int32 keys")
+    depth_bits = key_depth_bits(num_tiles)
     sentinel_key = jnp.int32((num_tiles + 1) << depth_bits)
-    depth_q = (jax.lax.bitcast_convert_type(
-        jnp.where(jnp.isfinite(proj.depths),
-                  jnp.maximum(proj.depths, 0.0), 0.0).astype(jnp.float32),
-        jnp.int32) >> (31 - depth_bits)) & ((1 << depth_bits) - 1)
+    depth_q = quantize_depths(proj.depths, depth_bits)
 
     def tier_candidates(g_idx: jnp.ndarray, slot_lo: int, slot_hi: int):
         """Candidate (key, gauss) rows for slots [slot_lo, slot_hi) of the

@@ -1,0 +1,184 @@
+"""Gaussian-axis sharded differentiable rendering (multi-chip, shard_map).
+
+This is the BASELINE.json north-star capability the reference does NOT have
+(SURVEY.md §2.5: the reference is scene-level DDP only): one scene's N
+Gaussians are sharded across the ``gauss`` mesh axis, and the image is
+produced cooperatively:
+
+  1. each device projects + tile-bins its local Gaussian shard over the FULL
+     image (sorts/gathers only, see ops/binning.py);
+  2. tile rows are statically partitioned across the same axis (device d owns
+     a contiguous block of tile rows); each device slices its sorted entry
+     list into per-destination runs (one searchsorted over the dest tile
+     boundaries — the list is already tile-sorted) and ships fixed-budget
+     (key, payload) buffers with a single ``lax.all_to_all`` over ICI — the
+     "halo exchange" of the binning phase;
+  3. each device merges the G received depth-sorted runs with one local
+     ``sort_key_val`` (ties break by source shard = global Gaussian order,
+     matching the unsharded stable sort) and alpha-composites its row block
+     with the standard tile walker (ops/compositing.py);
+  4. the image is reassembled by the shard_map output spec (rows concatenate
+     along the mesh axis).
+
+Everything in the exchange is gathers + one differentiable collective, so
+``jax.grad`` flows pixel gradients back through the all_to_all transpose to
+every local Gaussian attribute — no atomics, no host round-trips.
+
+Payload layout per entry (9 f32): xy (2), conic (3), rgb (3), opacity (1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from splatformer_tpu.ops.binning import (bin_gaussians, key_depth_bits,
+                                         quantize_depths)
+from splatformer_tpu.ops.camera import opengl_c2w_to_opencv_w2c
+from splatformer_tpu.ops.compositing import composite_tiles
+from splatformer_tpu.ops.projection import project_gaussians
+from splatformer_tpu.ops.render import activate_gaussians, compute_colors
+from splatformer_tpu.ops.types import Camera, GaussianScene, RasterizeConfig
+
+GAUSS_AXIS = "gauss"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return (a + b - 1) // b
+
+
+def render_images_gauss_sharded(
+    scene: GaussianScene,
+    cameras: Camera,
+    background: jnp.ndarray,
+    config: RasterizeConfig,
+    mesh: Mesh,
+    axis_name: str = GAUSS_AXIS,
+    exchange_budget: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render V views of one scene whose Gaussians are sharded over
+    ``axis_name``. Returns (rgb (V, H, W, 3), alpha (V, H, W, 1)) replicated.
+
+    ``config.max_intersects`` is the per-shard binning budget.
+    ``exchange_budget`` is the per-(source, destination) entry budget of the
+    all_to_all; the default (= per-shard budget) can never drop entries.
+    """
+    n_dev = mesh.shape[axis_name]
+    n = scene.num_points
+    assert n % n_dev == 0, (n, n_dev, "pad N to a multiple of the mesh axis")
+
+    height, width, ts = cameras.height, cameras.width, config.tile_size
+    tiles_x = _cdiv(width, ts)
+    tiles_y = _cdiv(height, ts)
+    num_tiles = tiles_x * tiles_y
+    tiles_y_loc = _cdiv(tiles_y, n_dev)   # tile rows owned per device
+    rows_loc = tiles_y_loc * ts           # pixel rows rendered per device
+    tiles_loc = tiles_y_loc * tiles_x
+    i_loc = config.max_intersects
+    budget = exchange_budget or i_loc
+    depth_bits = key_depth_bits(num_tiles)
+    sentinel_key = jnp.int32((num_tiles + 1) << depth_bits)
+
+    # destination tile boundaries: device d owns [d * tiles_loc, ...)
+    dest_bounds = jnp.minimum(
+        jnp.arange(n_dev + 1, dtype=jnp.int32) * tiles_loc, num_tiles)
+
+    def one_view(scene_loc, dev, c2w, fx, fy, cx, cy, background):
+        act = activate_gaussians(scene_loc)
+        mask = scene_loc.valid_mask()
+        opacities = jnp.where(mask, act["opacities"], 0.0)
+        viewmat = opengl_c2w_to_opencv_w2c(c2w)
+        campos = c2w[:3, 3]
+        colors = compute_colors(scene_loc, campos)
+
+        proj = project_gaussians(
+            act["means"], act["scales"], act["quats"], viewmat,
+            fx, fy, cx, cy, height, width,
+            tile_size=ts, clip_thresh=config.clip_thresh, mask=mask)
+
+        bins = bin_gaussians(proj, height, width, ts, i_loc,
+                             config.tiles_per_gauss)
+
+        # per-entry payload + exchange key, in local sorted order
+        gidx = bins.gauss_idx
+        live = bins.tile_ids < num_tiles
+        payload = jnp.concatenate(
+            [proj.xys[gidx], proj.conics[gidx], colors[gidx],
+             jnp.where(live, opacities[gidx], 0.0)[:, None]], axis=-1)
+        keys = jnp.where(
+            live,
+            (bins.tile_ids << depth_bits) | quantize_depths(
+                proj.depths, depth_bits)[gidx],
+            sentinel_key)
+
+        # slice the tile-sorted list into per-destination runs
+        bounds = jnp.searchsorted(bins.tile_ids, dest_bounds,
+                                  side="left").astype(jnp.int32)
+        slot = jnp.arange(budget, dtype=jnp.int32)[None, :]
+        idx = bounds[:-1, None] + slot                      # (G, B)
+        send_valid = idx < bounds[1:, None]
+        idx_c = jnp.clip(idx, 0, i_loc - 1)
+        send_keys = jnp.where(send_valid, keys[idx_c], sentinel_key)
+        send_pay = jnp.where(send_valid[..., None], payload[idx_c], 0.0)
+        dropped = jnp.sum(jnp.maximum(
+            bounds[1:] - bounds[:-1] - budget, 0)) + bins.num_dropped
+
+        # the binning halo exchange: dest-major -> source-major
+        recv_keys = jax.lax.all_to_all(send_keys, axis_name, 0, 0, tiled=True)
+        recv_pay = jax.lax.all_to_all(send_pay, axis_name, 0, 0, tiled=True)
+
+        # merge G sorted runs: one stable sort over (G * B). Source-major
+        # layout means equal keys keep global Gaussian order (shards are
+        # contiguous index blocks).
+        rk = recv_keys.reshape(-1)
+        perm0 = jnp.arange(rk.shape[0], dtype=jnp.int32)
+        sk, perm = jax.lax.sort_key_val(rk, perm0, is_stable=True)
+        pay = recv_pay.reshape(-1, 9)[perm]
+
+        # local per-tile ranges (offset into this device's tile block)
+        tile_of = jnp.clip((sk >> depth_bits) - dev * tiles_loc,
+                           0, tiles_loc)
+        tile_start = jnp.searchsorted(
+            tile_of, jnp.arange(tiles_loc + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+
+        # composite this device's pixel-row block
+        row0 = (dev * rows_loc).astype(pay.dtype)
+        pad = config.chunk_size
+        entry_xy = jnp.pad(
+            pay[:, 0:2] - jnp.stack([jnp.zeros_like(row0), row0]),
+            ((0, pad), (0, 0)))
+        entry_conic = jnp.pad(pay[:, 2:5], ((0, pad), (0, 0)))
+        entry_color = jnp.pad(pay[:, 5:8], ((0, pad), (0, 0)))
+        entry_opac = jnp.pad(pay[:, 8], ((0, pad),))
+        rgb, alpha = composite_tiles(
+            entry_xy, entry_conic, entry_color, entry_opac, tile_start,
+            rows_loc, width, ts, background,
+            max_per_tile=config.max_per_tile,
+            chunk_size=config.chunk_size,
+            alpha_threshold=config.alpha_threshold,
+            max_alpha=config.max_alpha,
+            transmittance_eps=config.transmittance_eps)
+        return jnp.clip(rgb, max=1.0), alpha[..., None], dropped
+
+    def body(scene_loc, c2w, fx, fy, cx, cy, background):
+        dev = jax.lax.axis_index(axis_name)
+        f = functools.partial(one_view, scene_loc, dev)
+        rgb, alpha, dropped = jax.vmap(
+            lambda *a: f(*a, background))(c2w, fx, fy, cx, cy)
+        return rgb, alpha, jnp.max(dropped)[None]
+
+    scene_spec = jax.tree.map(lambda _: P(axis_name), scene)
+    cam_spec = (P(), P(), P(), P(), P())
+    rgb, alpha, _ = shard_map(
+        body, mesh=mesh,
+        in_specs=(scene_spec,) + cam_spec + (P(),),
+        out_specs=(P(None, axis_name), P(None, axis_name), P(axis_name)),
+        check_vma=False,
+    )(scene, cameras.c2w, cameras.fx, cameras.fy, cameras.cx, cameras.cy,
+      background)
+    return rgb[:, :height], alpha[:, :height]

@@ -1,0 +1,88 @@
+"""Gaussian-axis sharded rendering vs the single-device renderer.
+
+Runs on the virtual 8-CPU-device mesh (conftest). The sharded path must
+reproduce the unsharded forward image and the gradients w.r.t. every
+Gaussian attribute — the all_to_all exchange and per-shard binning are
+implementation details, not semantics.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splatformer_tpu.data.synthetic import orbit_cameras, random_scene
+from splatformer_tpu.ops.render import render_images
+from splatformer_tpu.ops.types import RasterizeConfig
+from splatformer_tpu.parallel.gauss_shard import render_images_gauss_sharded
+
+from jax.sharding import Mesh
+
+
+def _mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("gauss",))
+
+
+def _setup(rng, n=1024, views=2, hw=64):
+    scene = random_scene(rng, n, sh_degree=1)
+    cameras = orbit_cameras(views, hw, hw)
+    background = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    rcfg = RasterizeConfig(max_intersects=2**14, max_per_tile=512,
+                           tiles_per_gauss=32, use_pallas=False)
+    return scene, cameras, background, rcfg
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_forward_matches_unsharded(rng, n_dev):
+    scene, cameras, background, rcfg = _setup(rng)
+    ref_rgb, ref_alpha = jax.jit(
+        lambda s: render_images(s, cameras, background, rcfg))(scene)
+
+    mesh = _mesh(n_dev)
+    rgb, alpha = jax.jit(
+        lambda s: render_images_gauss_sharded(
+            s, cameras, background, rcfg, mesh))(scene)
+
+    assert rgb.shape == ref_rgb.shape
+    assert alpha.shape == ref_alpha.shape
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref_rgb),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref_alpha),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_sharded_gradients_match_unsharded(rng):
+    scene, cameras, background, rcfg = _setup(rng, n=512, views=1, hw=48)
+    w = jnp.asarray(rng.normal(size=(1, 48, 48, 3)), jnp.float32)
+    attrs = ("means", "scales", "quats", "opacities", "features_dc",
+             "features_rest")
+    params = {k: getattr(scene, k) for k in attrs}
+    mesh = _mesh(8)
+
+    def loss(p, render):
+        rgb, _ = render(scene.replace(**p))
+        return jnp.sum(rgb * w)
+
+    g_ref = jax.jit(jax.grad(
+        lambda p: loss(p, lambda s: render_images(
+            s, cameras, background, rcfg))))(params)
+    g_sh = jax.jit(jax.grad(
+        lambda p: loss(p, lambda s: render_images_gauss_sharded(
+            s, cameras, background, rcfg, mesh))))(params)
+
+    for k in attrs:
+        np.testing.assert_allclose(
+            np.asarray(g_sh[k]), np.asarray(g_ref[k]),
+            atol=5e-4, rtol=5e-3, err_msg=k)
+
+
+def test_sharded_render_nondivisible_tile_rows(rng):
+    # H=80 -> 5 tile rows over 8 devices: most devices own 1 row, some none.
+    scene, cameras, background, rcfg = _setup(rng, n=512, views=1, hw=80)
+    ref_rgb, _ = jax.jit(
+        lambda s: render_images(s, cameras, background, rcfg))(scene)
+    rgb, _ = jax.jit(
+        lambda s: render_images_gauss_sharded(
+            s, cameras, background, rcfg, _mesh(8)))(scene)
+    assert rgb.shape == ref_rgb.shape
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref_rgb),
+                               atol=2e-5, rtol=1e-4)
