@@ -121,15 +121,20 @@ def bin_gaussians(
     keys1, gid1 = tier_candidates(all_idx, 0, s1)
     parts_k, parts_g = [keys1], [gid1]
     emitted = jnp.sum(jnp.minimum(count, s1))
+    if s2 > s1 or s3 > s2:
+        # one descending argsort serves both tiers (prefix-nested, so a
+        # tier-3 Gaussian always also emitted its tier-2 slots); two top_k
+        # calls cost two sorts and can disagree on ties
+        _, by_count = jax.lax.sort_key_val(-count, all_idx)
     if s2 > s1:
-        _, idx2 = jax.lax.top_k(count, k2)
-        keys2, gid2 = tier_candidates(idx2.astype(jnp.int32), s1, s2)
+        idx2 = by_count[:k2]
+        keys2, gid2 = tier_candidates(idx2, s1, s2)
         parts_k.append(keys2)
         parts_g.append(gid2)
         emitted += jnp.sum(jnp.clip(count[idx2], s1, s2) - s1)
     if s3 > s2:
-        _, idx3 = jax.lax.top_k(count, k3)
-        keys3, gid3 = tier_candidates(idx3.astype(jnp.int32), s2, s3)
+        idx3 = by_count[:k3]
+        keys3, gid3 = tier_candidates(idx3, s2, s3)
         parts_k.append(keys3)
         parts_g.append(gid3)
         emitted += jnp.sum(jnp.clip(count[idx3], s2, s3) - s2)
@@ -186,11 +191,18 @@ def pad_tile_ranges(bins: TileBins, num_tiles: int, chunk: int,
     chunk_pos = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     tile_of_chunk = (jnp.searchsorted(new_start, chunk_pos, side="right") - 1)
     tile_of_chunk = jnp.clip(tile_of_chunk, 0, num_tiles - 1).astype(jnp.int32)
-    tile_of = jnp.repeat(tile_of_chunk, chunk)
+    # per-entry gathers from the three tile tables, fused into ONE 2-D gather
+    # along lanes: flat 1-D gathers lower to the ~100M elem/s scalar path
+    # (10.8 ms for this repack on v5e) while a (rows, lanes) gather of columns
+    # runs vectorized — same trick as the packed-entry gather.
+    tables = jnp.stack([new_start[:num_tiles], counts,
+                        bins.tile_start[:num_tiles]])        # (3, T)
+    per_chunk = tables[:, tile_of_chunk]                     # (3, n_chunks)
+    per_entry = jnp.repeat(per_chunk, chunk, axis=1)         # (3, budget)
     pos = jnp.arange(budget, dtype=jnp.int32)
-    local = pos - new_start[tile_of]
-    valid = (local >= 0) & (local < counts[tile_of]) & \
+    local = pos - per_entry[0]
+    valid = (local >= 0) & (local < per_entry[1]) & \
         (pos < new_start[num_tiles])
-    src = jnp.clip(bins.tile_start[tile_of] + local, 0, max_intersects - 1)
-    gidx = jnp.where(valid, bins.gauss_idx[src], 0)
+    src = jnp.clip(per_entry[2] + local, 0, max_intersects - 1)
+    gidx = jnp.where(valid, bins.gauss_idx[None, :][:, src][0], 0)
     return PaddedTileBins(gauss_idx=gidx, valid=valid, tile_start=new_start)
