@@ -43,6 +43,13 @@ class TileBins(NamedTuple):
     tile_start: jnp.ndarray  # (num_tiles + 1,) int32 offsets into entry list
     num_entries: jnp.ndarray  # () int32 valid entries
     num_dropped: jnp.ndarray  # () int32 entries lost to caps
+    # exclusive-cumsum boundaries of each Gaussian's entry count among the
+    # valid entries when they are re-sorted by Gaussian id: (N + 1,) int32.
+    # Exact by construction (key-threshold truncation, see bin_gaussians), so
+    # the render backward can reduce per-entry gradients to per-Gaussian ones
+    # with one sort + cumsum + boundary gathers instead of a scatter-add
+    # (measured 23 ms/view scatter vs ~2 ms/view sorted segment-sum on v5e).
+    gauss_starts: jnp.ndarray
 
 
 # tier structure: (slots covered by every Gaussian, then top-K2 / top-K3 by
@@ -120,7 +127,6 @@ def bin_gaussians(
     all_idx = jnp.arange(n, dtype=jnp.int32)
     keys1, gid1 = tier_candidates(all_idx, 0, s1)
     parts_k, parts_g = [keys1], [gid1]
-    emitted = jnp.sum(jnp.minimum(count, s1))
     if s2 > s1 or s3 > s2:
         # one descending argsort serves both tiers (prefix-nested, so a
         # tier-3 Gaussian always also emitted its tier-2 slots); two top_k
@@ -131,35 +137,57 @@ def bin_gaussians(
         keys2, gid2 = tier_candidates(idx2, s1, s2)
         parts_k.append(keys2)
         parts_g.append(gid2)
-        emitted += jnp.sum(jnp.clip(count[idx2], s1, s2) - s1)
     if s3 > s2:
         idx3 = by_count[:k3]
         keys3, gid3 = tier_candidates(idx3, s2, s3)
         parts_k.append(keys3)
         parts_g.append(gid3)
-        emitted += jnp.sum(jnp.clip(count[idx3], s2, s3) - s2)
 
     keys = jnp.concatenate(parts_k)
     gidx = jnp.concatenate(parts_g)
-    if keys.shape[0] < max_intersects:
-        pad = max_intersects - keys.shape[0]
+    if keys.shape[0] < max_intersects + 1:
+        pad = max_intersects + 1 - keys.shape[0]
         keys = jnp.concatenate([keys, jnp.full((pad,), sentinel_key,
                                                jnp.int32)])
         gidx = jnp.concatenate([gidx, jnp.zeros((pad,), jnp.int32)])
 
-    keys, gidx = jax.lax.sort_key_val(keys, gidx, is_stable=True)
-    keys = keys[:max_intersects]
+    keys_sorted, gidx = jax.lax.sort_key_val(keys, gidx, is_stable=True)
+    # Key-threshold truncation: keep entries with key strictly below the
+    # first key past the budget. Unlike position-truncation this makes the
+    # surviving set a *pure function of each candidate's key*, so exact
+    # per-Gaussian surviving counts are computable in candidate space below
+    # (at the cost of also dropping budget-boundary ties — only reachable
+    # when the budget already overflows, which drops entries either way).
+    k_star = keys_sorted[max_intersects]
+    keys_t = keys_sorted[:max_intersects]
     gidx = gidx[:max_intersects]
-    tile_ids = jnp.minimum(keys >> depth_bits, num_tiles).astype(jnp.int32)
+    entry_valid = keys_t < k_star
+    tile_ids = jnp.where(entry_valid, keys_t >> depth_bits,
+                         num_tiles).astype(jnp.int32)
 
     tile_start = jnp.searchsorted(
         tile_ids, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    num_entries = jnp.minimum(emitted, max_intersects).astype(jnp.int32)
+    # exact per-Gaussian surviving-entry counts, computed tier-by-tier in
+    # the structured candidate layout (reshape-sum; no segment reduction)
+    counts_surv = jnp.sum(
+        (keys1 < k_star).reshape(n, s1).astype(jnp.int32), axis=1)
+    if s2 > s1:
+        counts_surv = counts_surv.at[idx2].add(jnp.sum(
+            (keys2 < k_star).reshape(k2, s2 - s1).astype(jnp.int32), axis=1))
+    if s3 > s2:
+        counts_surv = counts_surv.at[idx3].add(jnp.sum(
+            (keys3 < k_star).reshape(k3, s3 - s2).astype(jnp.int32), axis=1))
+    gauss_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts_surv)]).astype(jnp.int32)
+
+    num_entries = gauss_starts[-1]
     num_dropped = (jnp.sum(count) - num_entries).astype(jnp.int32)
     return TileBins(gauss_idx=gidx, tile_ids=tile_ids, tile_start=tile_start,
-                    num_entries=num_entries, num_dropped=num_dropped)
+                    num_entries=num_entries, num_dropped=num_dropped,
+                    gauss_starts=gauss_starts)
 
 
 class PaddedTileBins(NamedTuple):

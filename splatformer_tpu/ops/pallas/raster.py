@@ -61,6 +61,47 @@ def gather_packed_entries(pgauss_t: jnp.ndarray, gidx: jnp.ndarray
     return pgauss_t[:, gidx]
 
 
+@jax.custom_vjp
+def gather_entries_segsum(pgauss_t, gidx, sortkey, gauss_starts):
+    """`pgauss_t[:, gidx]` with a sort-based backward.
+
+    The autodiff transpose of the entry gather is a scatter-add of
+    (PACK_W, budget) gradients into (PACK_W, N) — XLA's TPU scatter emitter
+    runs it at ~78 ns/row (23 ms/view at bench scale). This backward instead
+    sorts the gradient columns by Gaussian id (multi-payload `lax.sort`,
+    ~0.3 ms), takes a lane cumsum and differences it at the per-Gaussian
+    boundaries `gauss_starts` (exact counts from the binning's key-threshold
+    truncation, binning.py) — ~2 ms/view total on v5e.
+
+    sortkey: (budget,) int32, = gidx for real entries, >= N for padding.
+    gauss_starts: (N + 1,) int32 exclusive-cumsum entry counts per Gaussian.
+    """
+    return pgauss_t[:, gidx]
+
+
+def _gather_segsum_fwd(pgauss_t, gidx, sortkey, gauss_starts):
+    return pgauss_t[:, gidx], (pgauss_t.shape, sortkey, gauss_starts)
+
+
+def _gather_segsum_bwd(res, ct):
+    (w, n_pad), sortkey, gauss_starts = res
+    ops = (sortkey,) + tuple(ct[i] for i in range(w))
+    sorted_ = jax.lax.sort(ops, dimension=sortkey.ndim - 1, num_keys=1)
+    dsort = jnp.stack(sorted_[1:], axis=0)                 # (w, budget)
+    c = jnp.cumsum(dsort, axis=-1)
+    c = jnp.concatenate([jnp.zeros(c.shape[:-1] + (1,), c.dtype), c],
+                        axis=-1)
+    d_pg = c[:, gauss_starts[1:]] - c[:, gauss_starts[:-1]]  # (w, N)
+    n = d_pg.shape[-1]
+    if n < n_pad:
+        d_pg = jnp.pad(d_pg, ((0, 0), (0, n_pad - n)))
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return d_pg, f0(sortkey), f0(sortkey), f0(gauss_starts)
+
+
+gather_entries_segsum.defvjp(_gather_segsum_fwd, _gather_segsum_bwd)
+
+
 def _shift_right(v, s, identity):
     """Shift along lanes: out[:, i] = v[:, i-s], first s columns = identity."""
     pad = jnp.full(v.shape[:-1] + (s,), identity, v.dtype)

@@ -93,16 +93,21 @@ def render_image(
     if config.resolved_use_pallas():
         from splatformer_tpu.ops.binning import pad_tile_ranges
         from splatformer_tpu.ops.pallas.raster import (CHUNK, composite_packed,
-                                                       gather_packed_entries,
+                                                       gather_entries_segsum,
                                                        pack_entries_t)
         tiles_x = (camera.width + config.tile_size - 1) // config.tile_size
         tiles_y = (camera.height + config.tile_size - 1) // config.tile_size
         pbins = pad_tile_ranges(bins, tiles_x * tiles_y, CHUNK,
                                 config.max_intersects)
         # pack once per Gaussian, gather once per entry; padding lanes are
-        # masked in-kernel via the true per-tile counts
+        # masked in-kernel via the true per-tile counts. The gather's
+        # backward is a sorted segment-sum (not a scatter) keyed on the
+        # exact per-Gaussian counts from binning.
         pgauss_t = pack_entries_t(proj.xys, proj.conics, colors, opacities)
-        packed_t = gather_packed_entries(pgauss_t, pbins.gauss_idx)
+        n = proj.xys.shape[0]
+        sortkey = jnp.where(pbins.valid, pbins.gauss_idx, n)
+        packed_t = gather_entries_segsum(pgauss_t, pbins.gauss_idx, sortkey,
+                                         bins.gauss_starts)
         counts = bins.tile_start[1:] - bins.tile_start[:-1]
         rgb, alpha = composite_packed(
             packed_t, pbins.tile_start, counts,

@@ -69,3 +69,74 @@ def test_pallas_background_gradient(setup):
     g_j = jax.jit(jax.grad(lambda b: loss(b, CFG_JAX)))(jnp.array([0.2, 0.5, 0.7]))
     g_p = jax.jit(jax.grad(lambda b: loss(b, CFG_PALLAS)))(jnp.array([0.2, 0.5, 0.7]))
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j), rtol=1e-4)
+
+
+def test_segsum_gather_backward_matches_scatter(setup):
+    """The sort+cumsum backward of gather_entries_segsum must equal the
+    autodiff (scatter-add) transpose of a plain gather, including under a
+    budget overflow (key-threshold truncation keeps counts exact)."""
+    from splatformer_tpu.ops.binning import bin_gaussians, pad_tile_ranges
+    from splatformer_tpu.ops.camera import opengl_c2w_to_opencv_w2c
+    from splatformer_tpu.ops.pallas.raster import (CHUNK, PACK_W,
+                                                   gather_entries_segsum)
+    from splatformer_tpu.ops.projection import project_gaussians
+    from splatformer_tpu.ops.render import activate_gaussians
+
+    scene, cam, _, _ = setup
+    act = activate_gaussians(scene)
+    viewmat = opengl_c2w_to_opencv_w2c(cam.c2w)
+    proj = project_gaussians(
+        act["means"], act["scales"], act["quats"], viewmat,
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.height, cam.width,
+        tile_size=16, clip_thresh=0.01, mask=scene.valid_mask())
+
+    rng = np.random.default_rng(0)
+    n = proj.xys.shape[0]
+    for max_i in (2**12, 64):  # ample budget, and a forced overflow
+        bins = bin_gaussians(proj, cam.height, cam.width, 16, max_i, 16)
+        num_tiles = ((cam.width + 15) // 16) * ((cam.height + 15) // 16)
+        pbins = pad_tile_ranges(bins, num_tiles, CHUNK, max_i)
+        sortkey = jnp.where(pbins.valid, pbins.gauss_idx, n)
+        budget = pbins.gauss_idx.shape[0]
+        n_pad = ((n + CHUNK - 1) // CHUNK) * CHUNK
+        pg = jnp.asarray(rng.normal(size=(PACK_W, n_pad)), jnp.float32)
+        ct = jnp.asarray(rng.normal(size=(PACK_W, budget)), jnp.float32)
+        # zero cotangents on padding slots, as the kernel guarantees
+        ct = jnp.where(pbins.valid[None, :], ct, 0.0)
+
+        def via_segsum(pg):
+            out = gather_entries_segsum(pg, pbins.gauss_idx, sortkey,
+                                        bins.gauss_starts)
+            return jnp.sum(out * ct)
+
+        def via_scatter(pg):
+            out = jnp.where(pbins.valid[None, :], pg[:, pbins.gauss_idx], 0.0)
+            return jnp.sum(out * ct)
+
+        g_a = jax.jit(jax.grad(via_segsum))(pg)
+        g_b = jax.jit(jax.grad(via_scatter))(pg)
+        np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"max_intersects={max_i}")
+
+
+def test_render_overflow_budget_paths_agree(setup):
+    """With a tiny intersect budget (K* truncation active) the pallas and
+    chunked paths still see identical entries: same image, same grads."""
+    scene, cam, bg, target = setup
+    cfg_j = CFG_JAX.replace(max_intersects=128)
+    cfg_p = cfg_j.replace(use_pallas=True)
+    rgb_j, _ = jax.jit(lambda s: render_image(s, cam, bg, cfg_j))(scene)
+    rgb_p, _ = jax.jit(lambda s: render_image(s, cam, bg, cfg_p))(scene)
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_j),
+                               atol=3e-6)
+
+    def loss(cfg):
+        return lambda m: jnp.mean(jnp.abs(
+            render_image(scene.replace(means=m), cam, bg, cfg)[0] - target))
+
+    g_j = jax.jit(jax.grad(loss(cfg_j)))(scene.means)
+    g_p = jax.jit(jax.grad(loss(cfg_p)))(scene.means)
+    scale = np.abs(np.asarray(g_j)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j),
+                               atol=2e-5 * scale, rtol=2e-3)

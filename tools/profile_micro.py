@@ -57,7 +57,8 @@ def main():
         gauss_idx=jnp.asarray(rng.integers(0, n_gauss, I), jnp.int32),
         tile_ids=jnp.asarray(tile_ids, jnp.int32),
         tile_start=jnp.asarray(tile_start, jnp.int32),
-        num_entries=jnp.int32(I - 1000), num_dropped=jnp.int32(0))
+        num_entries=jnp.int32(I - 1000), num_dropped=jnp.int32(0),
+        gauss_starts=jnp.zeros((n_gauss + 1,), jnp.int32))
     f = jax.jit(lambda b: pad_tile_ranges(b, n_tiles, 128, I))
     timeit("pad_tile_ranges total", f, bins)
 
