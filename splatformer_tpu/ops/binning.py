@@ -85,17 +85,30 @@ def bin_gaussians(
     tile_size: int,
     max_intersects: int,
     tiles_per_gauss: int,
+    tile_offset: jnp.ndarray | None = None,
+    num_images: int = 1,
 ) -> TileBins:
+    """Bin (Gaussian, tile) pairs into a depth-sorted per-tile entry list.
+
+    Multi-view flattening: with ``num_images`` V > 1 the caller concatenates
+    the V per-view projections along the Gaussian axis and passes a
+    per-Gaussian ``tile_offset`` (= view * tiles_per_image) — binning then
+    treats the batch as ONE virtual image of V * tiles_per_image tiles, so
+    the whole batch costs one sort / one searchsorted instead of V vmapped
+    ones (batched `lax.sort` measured ~5x slower than flat on v5e).
+    ``max_intersects`` is the TOTAL budget across views.
+    """
     n = proj.xys.shape[0]
     tiles_x = (img_width + tile_size - 1) // tile_size
     tiles_y = (img_height + tile_size - 1) // tile_size
-    num_tiles = tiles_x * tiles_y
+    num_tiles = tiles_x * tiles_y          # per image
+    total_tiles = num_tiles * num_images
 
     s1 = min(TIER1_SLOTS, tiles_per_gauss, num_tiles)
     s2 = min(TIER2_SLOTS, tiles_per_gauss, num_tiles)
     s3 = min(tiles_per_gauss, num_tiles)
-    k2 = min(TIER2_K, n)
-    k3 = min(TIER3_K, n)
+    k2 = min(TIER2_K * num_images, n)
+    k3 = min(TIER3_K * num_images, n)
 
     tmin_x, tmin_y, tmax_x, tmax_y = tile_bbox(
         proj.xys, proj.radii, tile_size, tiles_x, tiles_y)
@@ -106,8 +119,8 @@ def bin_gaussians(
     # fused sort key: tile in high bits, quantized depth below (positive-float
     # bitcast is monotone; gsplat packs (tile << 32 | depth_bits) for a 64-bit
     # radix sort — one int32 key keeps lax.sort at half the payload)
-    depth_bits = key_depth_bits(num_tiles)
-    sentinel_key = jnp.int32((num_tiles + 1) << depth_bits)
+    depth_bits = key_depth_bits(total_tiles)
+    sentinel_key = jnp.int32((total_tiles + 1) << depth_bits)
     depth_q = quantize_depths(proj.depths, depth_bits)
 
     def tier_candidates(g_idx: jnp.ndarray, slot_lo: int, slot_hi: int):
@@ -118,6 +131,8 @@ def bin_gaussians(
         ty = tmin_y[g_idx][:, None] + slots // w
         tx = tmin_x[g_idx][:, None] + slots % w
         tile = ty * tiles_x + tx
+        if tile_offset is not None:
+            tile = tile + tile_offset[g_idx][:, None]
         valid = slots < count[g_idx][:, None]
         key = (tile << depth_bits) | depth_q[g_idx][:, None]
         key = jnp.where(valid, key, sentinel_key)
@@ -163,10 +178,10 @@ def bin_gaussians(
     gidx = gidx[:max_intersects]
     entry_valid = keys_t < k_star
     tile_ids = jnp.where(entry_valid, keys_t >> depth_bits,
-                         num_tiles).astype(jnp.int32)
+                         total_tiles).astype(jnp.int32)
 
     tile_start = jnp.searchsorted(
-        tile_ids, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        tile_ids, jnp.arange(total_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
     # exact per-Gaussian surviving-entry counts, computed tier-by-tier in
@@ -179,9 +194,12 @@ def bin_gaussians(
     if s3 > s2:
         counts_surv = counts_surv.at[idx3].add(jnp.sum(
             (keys3 < k_star).reshape(k3, s3 - s2).astype(jnp.int32), axis=1))
+    # cumsum in f32: XLA's int32 cumsum lowers to a slow reduce-window on TPU
+    # (measured 6 ms at 100k) while the f32 path is fast; exact because the
+    # total entry count <= max_intersects < 2^24
     gauss_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(counts_surv)]).astype(jnp.int32)
+         jnp.cumsum(counts_surv.astype(jnp.float32)).astype(jnp.int32)])
 
     num_entries = gauss_starts[-1]
     num_dropped = (jnp.sum(count) - num_entries).astype(jnp.int32)

@@ -85,16 +85,18 @@ def _gather_segsum_fwd(pgauss_t, gidx, sortkey, gauss_starts):
 
 def _gather_segsum_bwd(res, ct):
     (w, n_pad), sortkey, gauss_starts = res
-    ops = (sortkey,) + tuple(ct[i] for i in range(w))
+    # only the 9 real attribute rows carry gradient; rows 9..PACK_W are the
+    # pack padding and stay zero (halves the sort payload)
+    used = 9
+    ops = (sortkey,) + tuple(ct[i] for i in range(used))
     sorted_ = jax.lax.sort(ops, dimension=sortkey.ndim - 1, num_keys=1)
-    dsort = jnp.stack(sorted_[1:], axis=0)                 # (w, budget)
+    dsort = jnp.stack(sorted_[1:], axis=0)                 # (used, budget)
     c = jnp.cumsum(dsort, axis=-1)
     c = jnp.concatenate([jnp.zeros(c.shape[:-1] + (1,), c.dtype), c],
                         axis=-1)
-    d_pg = c[:, gauss_starts[1:]] - c[:, gauss_starts[:-1]]  # (w, N)
+    d_pg = c[:, gauss_starts[1:]] - c[:, gauss_starts[:-1]]  # (used, N)
     n = d_pg.shape[-1]
-    if n < n_pad:
-        d_pg = jnp.pad(d_pg, ((0, 0), (0, n_pad - n)))
+    d_pg = jnp.pad(d_pg, ((0, w - used), (0, n_pad - n)))
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return d_pg, f0(sortkey), f0(sortkey), f0(gauss_starts)
 

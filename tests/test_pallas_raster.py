@@ -101,8 +101,10 @@ def test_segsum_gather_backward_matches_scatter(setup):
         n_pad = ((n + CHUNK - 1) // CHUNK) * CHUNK
         pg = jnp.asarray(rng.normal(size=(PACK_W, n_pad)), jnp.float32)
         ct = jnp.asarray(rng.normal(size=(PACK_W, budget)), jnp.float32)
-        # zero cotangents on padding slots, as the kernel guarantees
+        # the kernel contract: zero cotangents on padding slots AND on the
+        # pack-padding rows (only the 9 real attribute rows carry gradient)
         ct = jnp.where(pbins.valid[None, :], ct, 0.0)
+        ct = ct.at[9:].set(0.0)
 
         def via_segsum(pg):
             out = gather_entries_segsum(pg, pbins.gauss_idx, sortkey,
