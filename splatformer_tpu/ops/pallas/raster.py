@@ -165,15 +165,17 @@ def _chunk_quantities(e, pxs, pys, t_in, done_in, athr, amax, eps,
 
 def _make_calls(img_height: int, img_width: int, tile_size: int,
                 athr: float, amax: float, eps: float, budget: int,
-                interpret: bool):
+                interpret: bool, num_images: int = 1):
     ts = tile_size
     tiles_x = (img_width + ts - 1) // ts
     tiles_y = (img_height + ts - 1) // ts
-    num_tiles = tiles_x * tiles_y
+    tiles_img = tiles_x * tiles_y          # tiles per image
+    num_tiles = tiles_img * num_images     # total grid (V views flattened)
     p = ts * ts
     chunk = CHUNK
 
     def pixel_coords(t):
+        t = jax.lax.rem(t, tiles_img)      # tile within its image
         row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
         lx = (row % ts).astype(jnp.float32)
         ly = (row // ts).astype(jnp.float32)
@@ -421,30 +423,37 @@ def composite_packed(
     img_height: int, img_width: int, tile_size: int, background,
     alpha_threshold: float = 1.0 / 255.0, max_alpha: float = 0.999,
     transmittance_eps: float = 1e-4, interpret: bool | None = None,
+    num_images: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Core entry point: pre-packed (PACK_W, budget) entries with chunk-
     aligned exclusive tile ranges; `tile_counts` gives each tile's true entry
-    count (padding lanes are masked in-kernel)."""
+    count (padding lanes are masked in-kernel).
+
+    With ``num_images`` V > 1 the entry list covers V views flattened as one
+    virtual image of V * tiles-per-image tiles (one kernel launch for the
+    whole batch); returns (V, H, W, 3) rgb and (V, H, W) alpha."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     budget = packed_t.shape[1]
     composite, (tiles_x, tiles_y, num_tiles, p) = _cached_calls(
         img_height, img_width, tile_size, float(alpha_threshold),
-        float(max_alpha), float(transmittance_eps), budget, bool(interpret))
+        float(max_alpha), float(transmittance_eps), budget, bool(interpret),
+        num_images)
     meta = jnp.concatenate([tile_start.astype(jnp.int32),
                             tile_counts.astype(jnp.int32)])
     out = composite(packed_t, meta)
     ts = tile_size
+    v = num_images
     rgb = (out[:, :, 0:3]
-           .reshape(tiles_y, tiles_x, ts, ts, 3)
-           .transpose(0, 2, 1, 3, 4)
-           .reshape(tiles_y * ts, tiles_x * ts, 3))
-    t_img = (out[:, :, 3].reshape(tiles_y, tiles_x, ts, ts)
-             .transpose(0, 2, 1, 3)
-             .reshape(tiles_y * ts, tiles_x * ts))
-    rgb = rgb[:img_height, :img_width]
-    t_img = t_img[:img_height, :img_width]
-    rgb = rgb + t_img[..., None] * background[None, None, :]
+           .reshape(v, tiles_y, tiles_x, ts, ts, 3)
+           .transpose(0, 1, 3, 2, 4, 5)
+           .reshape(v, tiles_y * ts, tiles_x * ts, 3))
+    t_img = (out[:, :, 3].reshape(v, tiles_y, tiles_x, ts, ts)
+             .transpose(0, 1, 3, 2, 4)
+             .reshape(v, tiles_y * ts, tiles_x * ts))
+    rgb = rgb[:, :img_height, :img_width]
+    t_img = t_img[:, :img_height, :img_width]
+    rgb = rgb + t_img[..., None] * background[None, None, None, :]
     return rgb, 1.0 - t_img
 
 
@@ -455,13 +464,13 @@ def composite_tiles_pallas(
     transmittance_eps: float = 1e-4, chunk: int = CHUNK,
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-entry-array wrapper (compositing.composite_tiles contract); the
-    caller must already have zeroed padding opacities, so tile_counts covers
-    the whole padded ranges."""
+    """Per-entry-array single-image wrapper (compositing.composite_tiles
+    contract); the caller must already have zeroed padding opacities, so
+    tile_counts covers the whole padded ranges."""
     assert chunk == CHUNK, "pallas path uses 128-entry chunks"
     packed_t = pack_entries_t(entry_xy, entry_conic, entry_color, entry_opac)
     counts = tile_start[1:] - tile_start[:-1]
-    return composite_packed(packed_t, tile_start, counts, img_height,
-                            img_width, tile_size, background,
-                            alpha_threshold, max_alpha, transmittance_eps,
-                            interpret)
+    rgb, alpha = composite_packed(
+        packed_t, tile_start, counts, img_height, img_width, tile_size,
+        background, alpha_threshold, max_alpha, transmittance_eps, interpret)
+    return rgb[0], alpha[0]

@@ -142,3 +142,40 @@ def test_render_overflow_budget_paths_agree(setup):
     scale = np.abs(np.asarray(g_j)).max() + 1e-12
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j),
                                atol=2e-5 * scale, rtol=2e-3)
+
+
+def test_pallas_multiview_flat_matches_chunked(setup):
+    """The flattened V-view pipeline (one binning sort / one kernel launch)
+    must match per-view chunked rendering in both image and gradients."""
+    from splatformer_tpu.data.synthetic import orbit_cameras
+    from splatformer_tpu.ops import render_images
+
+    scene, _, bg, _ = setup
+    cams = orbit_cameras(3, 32, 32)
+    rgb_j, al_j = jax.jit(
+        lambda s: render_images(s, cams, bg, CFG_JAX))(scene)
+    rgb_p, al_p = jax.jit(
+        lambda s: render_images(s, cams, bg, CFG_PALLAS))(scene)
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_j),
+                               atol=3e-6)
+    np.testing.assert_allclose(np.asarray(al_p), np.asarray(al_j), atol=3e-6)
+
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(rng.uniform(size=rgb_j.shape), jnp.float32)
+    attrs = ("means", "scales", "quats", "opacities", "features_dc",
+             "features_rest")
+    params = {k: getattr(scene, k) for k in attrs}
+
+    def make_loss(cfg):
+        def loss(p):
+            rgb, alpha = render_images(scene.replace(**p), cams, bg, cfg)
+            return jnp.mean(jnp.abs(rgb - target)) + 0.1 * jnp.mean(alpha)
+        return loss
+
+    g_j = jax.jit(jax.grad(make_loss(CFG_JAX)))(params)
+    g_p = jax.jit(jax.grad(make_loss(CFG_PALLAS)))(params)
+    for k in attrs:
+        a, b = np.asarray(g_j[k]), np.asarray(g_p[k])
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, atol=2e-5 * scale, rtol=2e-3,
+                                   err_msg=k)
