@@ -14,12 +14,12 @@ Pipeline:
      Object-scan scenes have tiny splats (1-4 tiles), so tier 1 covers almost
      everything and the tiers bound worst-case cost; overflow beyond a
      Gaussian's tier is cropped and counted in `num_dropped`;
-  3. one fused int32 sort key per candidate: tile id in the high bits,
-     quantized positive-float depth bits below (monotone bitcast trick; ties
-     break by Gaussian index via the stable sort, like a radix sort);
-  4. single stable `lax.sort_key_val` over all candidates; invalid slots
-     carry the sentinel key and sort to the tail; truncate to the
-     max_intersects budget;
+  3. two int32 sort keys per candidate: tile id and the full-fidelity f32
+     depth (monotone bitcast trick; ties break by Gaussian index via the
+     stable sort, matching gsplat's 64-bit (tile, depth32) radix sort);
+  4. single stable two-key `lax.sort` over all candidates; invalid slots
+     carry the sentinel tile and sort to the tail; truncate to the
+     max_intersects budget by key threshold;
   5. per-tile [start, end) ranges via searchsorted.
 
 `pad_tile_ranges` re-expresses the entry list with chunk-aligned exclusive
@@ -32,7 +32,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from splatformer_tpu.ops.projection import ProjectedGaussians, tile_bbox
 
@@ -53,10 +52,14 @@ class TileBins(NamedTuple):
 
 
 # tier structure: (slots covered by every Gaussian, then top-K2 / top-K3 by
-# tile count). S3 is min(tiles_per_gauss, num_tiles).
+# tile count). S3 is min(tiles_per_gauss, num_tiles). Sizing: object-scan
+# scenes with the reference's max_scale clamp measure <= 9 tiles/Gaussian at
+# 256^2 with ~0.25% of Gaussians above 4 (bench scene histogram); K2/K3 give
+# 16x/8x margin over that. Candidates beyond a Gaussian's tier are dropped
+# and counted in num_dropped, so under-sizing is observable, not silent.
 TIER1_SLOTS = 4
-TIER2_K, TIER2_SLOTS = 16384, 16
-TIER3_K = 4096
+TIER2_K, TIER2_SLOTS = 4096, 16
+TIER3_K = 512
 
 
 def cumsum_1d_i32(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
@@ -77,23 +80,20 @@ def cumsum_1d_i32(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
     return (row_cs + offs[:, None]).reshape(-1)[:n].astype(jnp.int32)
 
 
-def key_depth_bits(num_tiles: int) -> int:
-    """Bits of the fused int32 sort key left for the quantized depth after
-    the tile id takes the high bits. Shared by binning and the gauss-axis
-    sharded exchange (parallel/gauss_shard.py), which must agree on the key
-    layout to merge per-shard sorted runs."""
-    tile_bits = max(1, int(np.ceil(np.log2(num_tiles + 2))))
-    depth_bits = 31 - tile_bits
-    assert depth_bits >= 12, (num_tiles, "image too large for int32 keys")
-    return depth_bits
+def depth_key_i32(depths: jnp.ndarray) -> jnp.ndarray:
+    """Monotone positive-float -> int32 key, FULL f32 fidelity (bitcast
+    trick: positive IEEE floats compare like their bit patterns). Shared by
+    binning and the gauss-axis sharded exchange (parallel/gauss_shard.py),
+    which must agree on the ordering to merge per-shard sorted runs.
 
-
-def quantize_depths(depths: jnp.ndarray, depth_bits: int) -> jnp.ndarray:
-    """Monotone positive-float -> depth_bits-bit integer (bitcast trick)."""
-    return (jax.lax.bitcast_convert_type(
+    Full fidelity matters: quantized depth keys reorder near-tied splats vs
+    gsplat's 32-bit depth radix sort, which measurably changes images at
+    transmittance-critical pixels (0.13 max pixel diff at 22 bits on a
+    100k-splat scene)."""
+    return jax.lax.bitcast_convert_type(
         jnp.where(jnp.isfinite(depths),
-                  jnp.maximum(depths, 0.0), 0.0).astype(jnp.float32),
-        jnp.int32) >> (31 - depth_bits)) & ((1 << depth_bits) - 1)
+                  jnp.maximum(depths, 0.0), jnp.inf).astype(jnp.float32),
+        jnp.int32)
 
 
 def bin_gaussians(
@@ -134,17 +134,17 @@ def bin_gaussians(
     span_w = jnp.maximum(tmax_x - tmin_x, 1)
     count = jnp.where(alive, proj.num_tiles_hit, 0)
 
-    # fused sort key: tile in high bits, quantized depth below (positive-float
-    # bitcast is monotone; gsplat packs (tile << 32 | depth_bits) for a 64-bit
-    # radix sort — one int32 key keeps lax.sort at half the payload)
-    depth_bits = key_depth_bits(total_tiles)
-    sentinel_key = jnp.int32((total_tiles + 1) << depth_bits)
-    depth_q = quantize_depths(proj.depths, depth_bits)
+    # two-key lexicographic sort (tile, full-fidelity f32 depth): gsplat
+    # packs (tile << 32 | depth_bits32) for a 64-bit radix sort; lax.sort
+    # with num_keys=2 gives the identical order from two int32 keys without
+    # int64 emulation, and removes any image-size limit on key bits
+    sentinel_tile = jnp.int32(total_tiles + 1)
+    depth_k = depth_key_i32(proj.depths)
 
     all_idx = jnp.arange(n, dtype=jnp.int32)
 
     def tier_candidates(g_idx, slot_lo: int, slot_hi: int):
-        """Candidate (key, gauss) rows for slots [slot_lo, slot_hi) of the
+        """Candidate (tile, gauss) rows for slots [slot_lo, slot_hi) of the
         given Gaussians — pure gathers/broadcasts. ``g_idx=None`` means all
         Gaussians in order: arrays are used directly (x[arange(n)] would
         otherwise compile to a real descriptor-rate gather, ~3.4 ms per
@@ -158,14 +158,16 @@ def bin_gaussians(
         if tile_offset is not None:
             tile = tile + take(tile_offset)[:, None]
         valid = slots < take(count)[:, None]
-        key = (tile << depth_bits) | take(depth_q)[:, None]
-        key = jnp.where(valid, key, sentinel_key)
+        tile = jnp.where(valid, tile, sentinel_tile)
+        # invalid slots carry depth 0 so the (tile, depth) threshold compare
+        # treats every sentinel candidate identically
+        dep = jnp.where(valid, take(depth_k)[:, None], 0)
         gid = jnp.broadcast_to(
-            (all_idx if g_idx is None else g_idx)[:, None], key.shape)
-        return key.reshape(-1), gid.reshape(-1)
+            (all_idx if g_idx is None else g_idx)[:, None], tile.shape)
+        return tile.reshape(-1), dep.reshape(-1), gid.reshape(-1)
 
-    keys1, gid1 = tier_candidates(None, 0, s1)
-    parts_k, parts_g = [keys1], [gid1]
+    tiles1, dep1, gid1 = tier_candidates(None, 0, s1)
+    parts_t, parts_d, parts_g = [tiles1], [dep1], [gid1]
     if s2 > s1 or s3 > s2:
         # one descending argsort serves both tiers (prefix-nested, so a
         # tier-3 Gaussian always also emitted its tier-2 slots); two top_k
@@ -173,35 +175,46 @@ def bin_gaussians(
         _, by_count = jax.lax.sort_key_val(-count, all_idx)
     if s2 > s1:
         idx2 = by_count[:k2]
-        keys2, gid2 = tier_candidates(idx2, s1, s2)
-        parts_k.append(keys2)
+        tiles2, dep2, gid2 = tier_candidates(idx2, s1, s2)
+        parts_t.append(tiles2)
+        parts_d.append(dep2)
         parts_g.append(gid2)
     if s3 > s2:
         idx3 = by_count[:k3]
-        keys3, gid3 = tier_candidates(idx3, s2, s3)
-        parts_k.append(keys3)
+        tiles3, dep3, gid3 = tier_candidates(idx3, s2, s3)
+        parts_t.append(tiles3)
+        parts_d.append(dep3)
         parts_g.append(gid3)
 
-    keys = jnp.concatenate(parts_k)
+    tiles_c = jnp.concatenate(parts_t)
+    deps_c = jnp.concatenate(parts_d)
     gidx = jnp.concatenate(parts_g)
-    if keys.shape[0] < max_intersects + 1:
-        pad = max_intersects + 1 - keys.shape[0]
-        keys = jnp.concatenate([keys, jnp.full((pad,), sentinel_key,
-                                               jnp.int32)])
+    if tiles_c.shape[0] < max_intersects + 1:
+        pad = max_intersects + 1 - tiles_c.shape[0]
+        tiles_c = jnp.concatenate([tiles_c, jnp.full((pad,), sentinel_tile,
+                                                     jnp.int32)])
+        deps_c = jnp.concatenate([deps_c, jnp.zeros((pad,), jnp.int32)])
         gidx = jnp.concatenate([gidx, jnp.zeros((pad,), jnp.int32)])
 
-    keys_sorted, gidx = jax.lax.sort_key_val(keys, gidx, is_stable=True)
-    # Key-threshold truncation: keep entries with key strictly below the
-    # first key past the budget. Unlike position-truncation this makes the
-    # surviving set a *pure function of each candidate's key*, so exact
-    # per-Gaussian surviving counts are computable in candidate space below
-    # (at the cost of also dropping budget-boundary ties — only reachable
-    # when the budget already overflows, which drops entries either way).
-    k_star = keys_sorted[max_intersects]
-    keys_t = keys_sorted[:max_intersects]
+    tiles_s, deps_s, gidx = jax.lax.sort(
+        (tiles_c, deps_c, gidx), dimension=0, num_keys=2, is_stable=True)
+    # Key-threshold truncation: keep entries lexicographically below the
+    # first (tile, depth) pair past the budget. Unlike position-truncation
+    # this makes the surviving set a *pure function of each candidate's
+    # key*, so exact per-Gaussian surviving counts are computable in
+    # candidate space below (at the cost of also dropping budget-boundary
+    # ties — only reachable when the budget already overflows, which drops
+    # entries either way).
+    t_star = tiles_s[max_intersects]
+    d_star = deps_s[max_intersects]
+
+    def below_star(tile, dep):
+        return (tile < t_star) | ((tile == t_star) & (dep < d_star))
+
+    entry_valid = below_star(tiles_s[:max_intersects],
+                             deps_s[:max_intersects])
     gidx = gidx[:max_intersects]
-    entry_valid = keys_t < k_star
-    tile_ids = jnp.where(entry_valid, keys_t >> depth_bits,
+    tile_ids = jnp.where(entry_valid, tiles_s[:max_intersects],
                          total_tiles).astype(jnp.int32)
 
     tile_start = jnp.searchsorted(
@@ -211,13 +224,15 @@ def bin_gaussians(
     # exact per-Gaussian surviving-entry counts, computed tier-by-tier in
     # the structured candidate layout (reshape-sum; no segment reduction)
     counts_surv = jnp.sum(
-        (keys1 < k_star).reshape(n, s1).astype(jnp.int32), axis=1)
+        below_star(tiles1, dep1).reshape(n, s1).astype(jnp.int32), axis=1)
     if s2 > s1:
         counts_surv = counts_surv.at[idx2].add(jnp.sum(
-            (keys2 < k_star).reshape(k2, s2 - s1).astype(jnp.int32), axis=1))
+            below_star(tiles2, dep2).reshape(k2, s2 - s1).astype(jnp.int32),
+            axis=1))
     if s3 > s2:
         counts_surv = counts_surv.at[idx3].add(jnp.sum(
-            (keys3 < k_star).reshape(k3, s3 - s2).astype(jnp.int32), axis=1))
+            below_star(tiles3, dep3).reshape(k3, s3 - s2).astype(jnp.int32),
+            axis=1))
     gauss_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          cumsum_1d_i32(counts_surv)])

@@ -70,8 +70,10 @@ def composite_tiles(
         dy = xy[:, 1:2] - pys[None, :]
         sigma = (0.5 * (conic[:, 0:1] * dx * dx + conic[:, 2:3] * dy * dy)
                  + conic[:, 1:2] * dx * dy)
+        # sigma clamped, not sign-masked: see naive.py (PSD conics)
+        sigma = jnp.maximum(sigma, 0.0)
         alpha = jnp.minimum(max_alpha, opac[:, None] * jnp.exp(-sigma))
-        ok = valid[:, None] & (sigma >= 0) & (alpha >= alpha_threshold)
+        ok = valid[:, None] & (alpha >= alpha_threshold)
         a = jnp.where(ok, alpha, 0.0)
         om = 1.0 - a
         T_incl = jnp.cumprod(om, axis=0) * T[None, :]

@@ -47,11 +47,17 @@ def composite_pixels_naive(
         dx = xy[0] - px
         dy = xy[1] - py
         sigma = 0.5 * (conic[0] * dx * dx + conic[2] * dy * dy) + conic[1] * dx * dy
+        # Conics are PSD by construction (+0.3 blur), so true sigma >= 0 and
+        # gsplat's `sigma < 0 -> skip` can only trip on rounding noise — a
+        # knife edge where a full splat toggles on the f32 evaluation order
+        # (pixels at splat centers). Clamping is equivalent up to rounding
+        # and makes every evaluation order agree.
+        sigma = jnp.maximum(sigma, 0.0)
         alpha = jnp.minimum(max_alpha, op * jnp.exp(-sigma))
-        # gsplat: skip if sigma < 0 or alpha < 1/255; the Gaussian whose
-        # accumulation would push T <= 1e-4 is itself skipped and terminates
-        # the pixel (forward.cu: next_T <= 1e-4 -> break before accumulate).
-        alpha_ok = (sigma >= 0) & ok & (alpha >= alpha_threshold)
+        # gsplat: skip if alpha < 1/255; the Gaussian whose accumulation
+        # would push T <= 1e-4 is itself skipped and terminates the pixel
+        # (forward.cu: next_T <= 1e-4 -> break before accumulate).
+        alpha_ok = ok & (alpha >= alpha_threshold)
         next_T = T * (1.0 - alpha)
         crosses = alpha_ok & (next_T <= transmittance_eps)
         contrib = alpha_ok & jnp.logical_not(done) & jnp.logical_not(crosses)

@@ -126,41 +126,97 @@ def _cumsum_lanes(v):
     return v
 
 
-def _chunk_quantities(e, pxs, pys, t_in, done_in, athr, amax, eps,
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    """f32-exact matmul on the MXU (bf16x6 passes; operands are tiny)."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               precision=_HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _pixel_bases(ts: int, tiles_x: int, t):
+    """Per-tile pixel polynomial bases in TILE-CENTERED coordinates.
+
+    Returns (A (P,6), AT (6,P), ox, oy): A rows are
+    [1, px, py, px^2, py^2, px*py] for the P=ts*ts pixels of tile ``t``
+    with px/py measured from the tile center (|px| < ts), so the bilinear
+    sigma/moment matmuls below stay cancellation-free; ox/oy recenters the
+    entry coordinates. Centered-coordinate magnitudes keep the expanded
+    quadratic exact to ~2^-45 relative under bf16x6.
+    """
+    half = (ts - 1) * 0.5
+    p = ts * ts
+
+    def basis(shape, dim):
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+        lx = (row % ts).astype(jnp.float32) - half
+        ly = (row // ts).astype(jnp.float32) - half
+        one = jnp.ones(shape, jnp.float32)
+        return [one, lx, ly, lx * lx, ly * ly, lx * ly]
+
+    A = jnp.concatenate(basis((p, 1), 0), axis=1)    # (P, 6)
+    AT = jnp.concatenate(basis((1, p), 1), axis=0)   # (6, P)
+    ox = (t % tiles_x).astype(jnp.float32) * ts + half
+    oy = (t // tiles_x).astype(jnp.float32) * ts + half
+    return A, AT, ox, oy
+
+
+def _chunk_quantities(e, A, ox, oy, t_in, done_in, athr, amax, eps,
                       lane_valid=None):
     """Shared fwd/bwd math for one (P, C) block.
 
-    e: (PACK_W, C) attribute rows; pxs/pys: (P, 1); t_in/done_in: (P, 1);
-    lane_valid: (1, C) mask of real (non-padding) entries in this chunk."""
-    x, y = e[0:1, :], e[1:2, :]
+    e: (PACK_W, C) attribute rows; A: (P, 6) centered pixel basis;
+    ox/oy: tile-center pixel coordinates (scalars); t_in/done_in: (P, 1);
+    lane_valid: (1, C) mask of real (non-padding) entries in this chunk.
+
+    sigma is evaluated as ONE MXU matmul A @ B of the expanded quadratic
+    (B built from per-entry conics in centered coordinates) instead of
+    ~10 (P, C) VPU ops; the compositing recurrence exploits that the
+    running transmittance ``incl`` is monotone non-increasing along lanes,
+    so gsplat's early-termination masks are plain comparisons (no lane
+    cumsum) and t_out is a lane min-reduce.
+    """
+    x = e[0:1, :] - ox                     # (1, C) centered entry coords
+    y = e[1:2, :] - oy
     c0, c1, c2 = e[2:3, :], e[3:4, :], e[4:5, :]
     op = e[5:6, :]
     if lane_valid is not None:
         op = jnp.where(lane_valid, op, 0.0)
-    dx = x - pxs       # (P, C)
-    dy = y - pys
-    sigma = 0.5 * (c0 * dx * dx + c2 * dy * dy) + c1 * dx * dy
+    b0 = 0.5 * (c0 * x * x + c2 * y * y) + c1 * x * y
+    b1 = -(c0 * x + c1 * y)
+    b2 = -(c2 * y + c1 * x)
+    b3 = jnp.broadcast_to(0.5 * c0, x.shape)
+    b4 = jnp.broadcast_to(0.5 * c2, x.shape)
+    b5 = jnp.broadcast_to(c1, x.shape)
+    B = jnp.concatenate([b0, b1, b2, b3, b4, b5], axis=0)   # (6, C)
+    # sigma clamped, not sign-masked: see naive.py (PSD conics). The clamp
+    # also kills the expanded quadratic's rounding noise at splat centers.
+    sig_raw = _dot(A, B)                                    # (P, C)
+    sigma = jnp.maximum(sig_raw, 0.0)
     raw = op * jnp.exp(-sigma)
     a = jnp.minimum(amax, raw)
-    okm = (sigma >= 0.0) & (a >= athr)
+    okm = a >= athr
     a = jnp.where(okm, a, 0.0)
     om = 1.0 - a
     incl = _cumprod_lanes(om) * t_in
-    cross = okm & (incl <= eps)
-    csum = _cumsum_lanes(cross.astype(jnp.float32))
-    seen_excl = (csum - cross.astype(jnp.float32)) > 0.5
-    contrib = okm & jnp.logical_not(done_in | seen_excl | cross)
     excl = _shift_right(incl, 1, 1.0)
     col0 = jax.lax.broadcasted_iota(jnp.int32, excl.shape, 1) == 0
     excl = jnp.where(col0, t_in, excl)
+    # incl is monotone non-increasing: a pixel composites a lane iff its
+    # post-lane transmittance is still above the cutoff (gsplat breaks
+    # BEFORE compositing the crossing Gaussian), and t_out is the last
+    # still-above-cutoff value.
+    contrib = okm & jnp.logical_not(done_in) & (incl > eps)
     vis = jnp.where(contrib, a * excl, 0.0)
-    # Mosaic has no reduce_prod; om >= 1 - max_alpha > 0 where contrib
-    t_out = t_in * jnp.exp(jnp.sum(
-        jnp.where(contrib, jnp.log(om), 0.0), axis=-1, keepdims=True))
-    done_out = done_in | jnp.any(cross, axis=-1, keepdims=True)
-    return dict(dx=dx, dy=dy, sigma=sigma, raw=raw, a=a, om=om, excl=excl,
-                vis=vis, contrib=contrib, t_out=t_out, done_out=done_out,
-                c0=c0, c1=c1, c2=c2)
+    t_out = jnp.min(jnp.where(incl > eps, incl, t_in), axis=-1,
+                    keepdims=True)
+    t_out = jnp.where(done_in, t_in, t_out)
+    done_out = done_in | (incl[:, -1:] <= eps)
+    return dict(x=x, y=y, sigma=sigma, sig_pos=sig_raw >= 0.0, raw=raw,
+                a=a, om=om, excl=excl, vis=vis, contrib=contrib,
+                t_out=t_out, done_out=done_out, c0=c0, c1=c1, c2=c2, op=op)
 
 
 def _make_calls(img_height: int, img_width: int, tile_size: int,
@@ -174,15 +230,6 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
     p = ts * ts
     chunk = CHUNK
 
-    def pixel_coords(t):
-        t = jax.lax.rem(t, tiles_img)      # tile within its image
-        row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-        lx = (row % ts).astype(jnp.float32)
-        ly = (row // ts).astype(jnp.float32)
-        pxs = lx + (t % tiles_x).astype(jnp.float32) * ts
-        pys = ly + (t // tiles_x).astype(jnp.float32) * ts
-        return pxs, pys
-
     # ------------------------------------------------------------- forward
     def fwd_kernel(tile_start_ref, packed_ref, out_ref, ebuf, sbuf, sem):
         t = pl.program_id(0)
@@ -190,7 +237,7 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         nchunks = (tile_start_ref[t + 1] - start) // chunk
         count = tile_start_ref[num_tiles + 1 + t]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        pxs, pys = pixel_coords(t)
+        A, _, ox, oy = _pixel_bases(ts, tiles_x, jax.lax.rem(t, tiles_img))
         # per-tile state in VMEM columns: [r, g, b, T, done, 0, 0, 0]
         init_cols = jnp.concatenate(
             [jnp.zeros((p, 3), jnp.float32), jnp.ones((p, 1), jnp.float32),
@@ -224,11 +271,12 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             t_in = sbuf[:, 3:4]
             done = sbuf[:, 4:5] > 0.5
             lane_valid = (k * chunk + lane) < count
-            q = _chunk_quantities(e, pxs, pys, t_in, done, athr, amax, eps,
+            q = _chunk_quantities(e, A, ox, oy, t_in, done, athr, amax, eps,
                                   lane_valid)
-            rgb_new = sbuf[:, 0:3] + jnp.concatenate(
-                [jnp.sum(q["vis"] * e[6 + ch:7 + ch, :], axis=-1,
-                         keepdims=True) for ch in range(3)], axis=1)
+            # (P, C) @ (C, 3) on the MXU instead of 3 lane reductions
+            rgb_new = sbuf[:, 0:3] + jax.lax.dot_general(
+                q["vis"], e[6:9, :], (((1,), (1,)), ((), ())),
+                precision=_HIGHEST, preferred_element_type=jnp.float32)
             done_new = q["done_out"].astype(jnp.float32)
             sbuf[:, :] = jnp.concatenate(
                 [rgb_new, q["t_out"], done_new,
@@ -269,13 +317,12 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         nchunks = (tile_start_ref[t + 1] - start) // chunk
         count = tile_start_ref[num_tiles + 1 + t]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        pxs, pys = pixel_coords(t)
-        gr = g_out_ref[0][:, 0:1]
-        gg = g_out_ref[0][:, 1:2]
-        gb = g_out_ref[0][:, 2:3]
+        A, AT, ox, oy = _pixel_bases(ts, tiles_x, jax.lax.rem(t, tiles_img))
+        g_rgb = g_out_ref[0][:, 0:3]                   # (p, 3)
         gT = g_out_ref[0][:, 3:4]
+        g_rgb_t = jnp.transpose(g_rgb)                 # (3, p)
         acc = out_saved_ref[0]                         # (p, 4)
-        s_total = (gr * acc[:, 0:1] + gg * acc[:, 1:2] + gb * acc[:, 2:3])
+        s_total = jnp.sum(g_rgb * acc[:, 0:3], axis=1, keepdims=True)
         gt_term = gT * acc[:, 3:4]                     # (p, 1)
         # state columns: [T, done, s_rem, ...]
         sbuf[:, :] = jnp.concatenate(
@@ -305,31 +352,47 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             done = sbuf[:, 1:2] > 0.5
             s_rem = sbuf[:, 2:3]
             lane_valid = (k * chunk + lane) < count
-            q = _chunk_quantities(e, pxs, pys, t_in, done, athr, amax, eps,
+            q = _chunk_quantities(e, A, ox, oy, t_in, done, athr, amax, eps,
                                   lane_valid)
-            gc = e[6:7, :] * gr + e[7:8, :] * gg + e[8:9, :] * gb  # (p, C)
+            # gc(p, c) = sum_ch g_ch(p) color_ch(c): one MXU matmul
+            gc = jax.lax.dot_general(
+                g_rgb, e[6:9, :], (((1,), (0,)), ((), ())),
+                precision=_HIGHEST, preferred_element_type=jnp.float32)
             terms = jnp.where(q["contrib"], gc * q["vis"], 0.0)
             pre_incl = _cumsum_lanes(terms)
             s_after = s_rem - pre_incl
             da = q["excl"] * gc - (s_after + gt_term) / q["om"]
-            clamped = q["raw"] >= amax
-            active = q["contrib"] & jnp.logical_not(clamped)
+            # sigma-clamp derivative: zero where the clamp was active
+            active = q["contrib"] & (q["raw"] < amax) & q["sig_pos"]
             dsig = jnp.where(active, -q["raw"] * da, 0.0)
-            dop_pp = jnp.where(active, jnp.exp(-q["sigma"]) * da, 0.0)
 
-            dx, dy = q["dx"], q["dy"]
+            # All pixel reductions as TWO moment matmuls: with dx = x - px
+            # expanded about the tile center, every per-entry gradient row
+            # is a polynomial in the dsig-moments M = AT @ dsig of the pixel
+            # basis [1, px, py, px^2, py^2, px*py] (and the color rows are
+            # g^T @ vis); d/d-opacity is -S1/op since dsig = -raw * da and
+            # raw = op * exp(-sigma).
+            M = _dot(AT, dsig)                         # (6, C)
+            s1, sx, sy = M[0:1], M[1:2], M[2:3]
+            sxx, syy, sxy = M[3:4], M[4:5], M[5:6]
+            x, y = q["x"], q["y"]
+            sdx = x * s1 - sx
+            sdy = y * s1 - sy
+            sdxx = x * x * s1 - 2.0 * x * sx + sxx
+            sdyy = y * y * s1 - 2.0 * y * sy + syy
+            sdxy = x * y * s1 - x * sy - y * sx + sxy
+            crows = _dot(g_rgb_t, q["vis"])            # (3, C)
             rows = [
-                jnp.sum((q["c0"] * dx + q["c1"] * dy) * dsig, axis=0,
-                        keepdims=True),
-                jnp.sum((q["c1"] * dx + q["c2"] * dy) * dsig, axis=0,
-                        keepdims=True),
-                jnp.sum(0.5 * dx * dx * dsig, axis=0, keepdims=True),
-                jnp.sum(dx * dy * dsig, axis=0, keepdims=True),
-                jnp.sum(0.5 * dy * dy * dsig, axis=0, keepdims=True),
-                jnp.sum(dop_pp, axis=0, keepdims=True),
-                jnp.sum(gr * q["vis"], axis=0, keepdims=True),
-                jnp.sum(gg * q["vis"], axis=0, keepdims=True),
-                jnp.sum(gb * q["vis"], axis=0, keepdims=True),
+                q["c0"] * sdx + q["c1"] * sdy,
+                q["c1"] * sdx + q["c2"] * sdy,
+                0.5 * sdxx,
+                sdxy,
+                0.5 * sdyy,
+                jnp.where(q["op"] > 0.0, -s1 / jnp.maximum(q["op"], 1e-30),
+                          0.0),
+                crows[0:1],
+                crows[1:2],
+                crows[2:3],
                 jnp.zeros((PACK_W - 9, chunk), jnp.float32),
             ]
             # alternate output buffers so the store DMA overlaps the next
@@ -348,7 +411,7 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
                 dout_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk),
                                      chunk)],
                 sem_out.at[slot]).start()
-            s_rem_new = s_rem - jnp.sum(terms, axis=-1, keepdims=True)
+            s_rem_new = s_rem - pre_incl[:, -1:]
             sbuf[:, :] = jnp.concatenate(
                 [q["t_out"], q["done_out"].astype(jnp.float32), s_rem_new,
                  jnp.zeros((p, 5), jnp.float32)], axis=1)

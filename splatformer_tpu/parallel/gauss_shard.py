@@ -36,8 +36,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from splatformer_tpu.ops.binning import (bin_gaussians, key_depth_bits,
-                                         quantize_depths)
+from splatformer_tpu.ops.binning import bin_gaussians, depth_key_i32
 from splatformer_tpu.ops.camera import opengl_c2w_to_opencv_w2c
 from splatformer_tpu.ops.compositing import composite_tiles
 from splatformer_tpu.ops.projection import project_gaussians
@@ -80,8 +79,7 @@ def render_images_gauss_sharded(
     tiles_loc = tiles_y_loc * tiles_x
     i_loc = config.max_intersects
     budget = exchange_budget or i_loc
-    depth_bits = key_depth_bits(num_tiles)
-    sentinel_key = jnp.int32((num_tiles + 1) << depth_bits)
+    sentinel_tile = jnp.int32(num_tiles + 1)
 
     # destination tile boundaries: device d owns [d * tiles_loc, ...)
     dest_bounds = jnp.minimum(
@@ -103,17 +101,15 @@ def render_images_gauss_sharded(
         bins = bin_gaussians(proj, height, width, ts, i_loc,
                              config.tiles_per_gauss)
 
-        # per-entry payload + exchange key, in local sorted order
+        # per-entry payload + exchange keys (tile, full-fidelity f32 depth),
+        # in local sorted order
         gidx = bins.gauss_idx
         live = bins.tile_ids < num_tiles
         payload = jnp.concatenate(
             [proj.xys[gidx], proj.conics[gidx], colors[gidx],
              jnp.where(live, opacities[gidx], 0.0)[:, None]], axis=-1)
-        keys = jnp.where(
-            live,
-            (bins.tile_ids << depth_bits) | quantize_depths(
-                proj.depths, depth_bits)[gidx],
-            sentinel_key)
+        tiles_e = jnp.where(live, bins.tile_ids, sentinel_tile)
+        deps_e = jnp.where(live, depth_key_i32(proj.depths)[gidx], 0)
 
         # slice the tile-sorted list into per-destination runs
         bounds = jnp.searchsorted(bins.tile_ids, dest_bounds,
@@ -122,26 +118,30 @@ def render_images_gauss_sharded(
         idx = bounds[:-1, None] + slot                      # (G, B)
         send_valid = idx < bounds[1:, None]
         idx_c = jnp.clip(idx, 0, i_loc - 1)
-        send_keys = jnp.where(send_valid, keys[idx_c], sentinel_key)
+        send_tile = jnp.where(send_valid, tiles_e[idx_c], sentinel_tile)
+        send_dep = jnp.where(send_valid, deps_e[idx_c], 0)
         send_pay = jnp.where(send_valid[..., None], payload[idx_c], 0.0)
         dropped = jnp.sum(jnp.maximum(
             bounds[1:] - bounds[:-1] - budget, 0)) + bins.num_dropped
 
         # the binning halo exchange: dest-major -> source-major
-        recv_keys = jax.lax.all_to_all(send_keys, axis_name, 0, 0, tiled=True)
+        recv_tile = jax.lax.all_to_all(send_tile, axis_name, 0, 0, tiled=True)
+        recv_dep = jax.lax.all_to_all(send_dep, axis_name, 0, 0, tiled=True)
         recv_pay = jax.lax.all_to_all(send_pay, axis_name, 0, 0, tiled=True)
 
-        # merge G sorted runs: one stable sort over (G * B). Source-major
-        # layout means equal keys keep global Gaussian order (shards are
-        # contiguous index blocks).
-        rk = recv_keys.reshape(-1)
-        perm0 = jnp.arange(rk.shape[0], dtype=jnp.int32)
-        sk, perm = jax.lax.sort_key_val(rk, perm0, is_stable=True)
+        # merge G sorted runs: one stable two-key sort over (G * B).
+        # Source-major layout means equal (tile, depth) keys keep global
+        # Gaussian order (shards are contiguous index blocks), matching the
+        # unsharded stable sort.
+        rt = recv_tile.reshape(-1)
+        rd = recv_dep.reshape(-1)
+        perm0 = jnp.arange(rt.shape[0], dtype=jnp.int32)
+        sk_tile, _, perm = jax.lax.sort(
+            (rt, rd, perm0), dimension=0, num_keys=2, is_stable=True)
         pay = recv_pay.reshape(-1, 9)[perm]
 
         # local per-tile ranges (offset into this device's tile block)
-        tile_of = jnp.clip((sk >> depth_bits) - dev * tiles_loc,
-                           0, tiles_loc)
+        tile_of = jnp.clip(sk_tile - dev * tiles_loc, 0, tiles_loc)
         tile_start = jnp.searchsorted(
             tile_of, jnp.arange(tiles_loc + 1, dtype=jnp.int32),
             side="left").astype(jnp.int32)
