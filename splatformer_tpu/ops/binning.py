@@ -22,9 +22,11 @@ Pipeline:
      max_intersects budget by key threshold;
   5. per-tile [start, end) ranges via searchsorted.
 
-`pad_tile_ranges` re-expresses the entry list with chunk-aligned exclusive
-per-tile ranges for the Pallas kernels — also gather-only (the padded slot ->
-source entry map is computed with a searchsorted over tile boundaries).
+The Pallas kernels consume this entry list directly (unpadded): each tile
+DMAs the 128-aligned chunk windows covering its [start, end) range and masks
+out-of-range lanes, so no padded repack of the entry list is needed (an
+earlier design's repack cost two budget-sized descriptor-rate gathers,
+~14 ms/iter at bench scale).
 """
 from __future__ import annotations
 
@@ -244,47 +246,3 @@ def bin_gaussians(
                     gauss_starts=gauss_starts)
 
 
-class PaddedTileBins(NamedTuple):
-    """Entry list re-expressed with chunk-aligned exclusive per-tile ranges:
-    tile t owns [tile_start[t], tile_start[t+1]) with both ends multiples of
-    `chunk`; padding slots inside a range are invalid (zero opacity renders
-    them inert). Gives the Pallas kernels race-free aligned DMA windows."""
-
-    gauss_idx: jnp.ndarray    # (budget,) int32
-    valid: jnp.ndarray        # (budget,) bool
-    tile_start: jnp.ndarray   # (num_tiles + 1,) int32, multiples of chunk
-
-
-def pad_tile_ranges(bins: TileBins, num_tiles: int, chunk: int,
-                    max_intersects: int) -> PaddedTileBins:
-    budget = max_intersects + num_tiles * chunk
-    budget = ((budget + chunk - 1) // chunk) * chunk
-    counts = bins.tile_start[1:] - bins.tile_start[:-1]           # (T,)
-    counts_p = ((counts + chunk - 1) // chunk) * chunk
-    new_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_p)]).astype(jnp.int32)
-
-    # gather-only repack: padded slot p belongs to the tile that owns its
-    # chunk. Padded starts are chunk multiples, so resolve tile-of-chunk with
-    # a searchsorted over budget/chunk queries (128x fewer than per-entry)
-    # and broadcast within chunks — per-entry searchsorted measured 32 ms on
-    # v5e vs ~1 ms for this form.
-    n_chunks = budget // chunk
-    chunk_pos = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    tile_of_chunk = (jnp.searchsorted(new_start, chunk_pos, side="right") - 1)
-    tile_of_chunk = jnp.clip(tile_of_chunk, 0, num_tiles - 1).astype(jnp.int32)
-    # per-entry gathers from the three tile tables, fused into ONE 2-D gather
-    # along lanes: flat 1-D gathers lower to the ~100M elem/s scalar path
-    # (10.8 ms for this repack on v5e) while a (rows, lanes) gather of columns
-    # runs vectorized — same trick as the packed-entry gather.
-    tables = jnp.stack([new_start[:num_tiles], counts,
-                        bins.tile_start[:num_tiles]])        # (3, T)
-    per_chunk = tables[:, tile_of_chunk]                     # (3, n_chunks)
-    per_entry = jnp.repeat(per_chunk, chunk, axis=1)         # (3, budget)
-    pos = jnp.arange(budget, dtype=jnp.int32)
-    local = pos - per_entry[0]
-    valid = (local >= 0) & (local < per_entry[1]) & \
-        (pos < new_start[num_tiles])
-    src = jnp.clip(per_entry[2] + local, 0, max_intersects - 1)
-    gidx = jnp.where(valid, bins.gauss_idx[None, :][:, src][0], 0)
-    return PaddedTileBins(gauss_idx=gidx, valid=valid, tile_start=new_start)

@@ -36,10 +36,13 @@ def normalize_quats(quats: jnp.ndarray) -> jnp.ndarray:
     bit-for-bit rather than "fixing" it, since any unit quat is an equally
     arbitrary choice for a degenerate input.
     """
-    norm = jnp.linalg.norm(quats, axis=-1, keepdims=True)
-    ok = norm > 1e-6
+    sq = jnp.sum(quats * quats, axis=-1, keepdims=True)
+    ok = sq > 1e-12
+    # double-where: sqrt must never see 0 or its NaN gradient leaks through
+    # the select (a zero quat would poison adam state for masked slots)
+    denom = jnp.sqrt(jnp.where(ok, sq, 1.0))
     fallback = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=quats.dtype)
-    safe = jnp.where(ok, quats / jnp.maximum(norm, 1e-12), fallback)
+    safe = jnp.where(ok, quats / denom, fallback)
     return safe
 
 

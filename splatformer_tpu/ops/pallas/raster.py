@@ -2,9 +2,16 @@
 backward (custom_vjp), gsplat v0.1.11 semantics.
 
 Design (vs the chunked pure-JAX walker in ops/compositing.py):
-  * grid = one program per 16x16 tile; per-tile entry ranges are chunk-aligned
-    (128 entries) and exclusive (binning.pad_tile_ranges), so every DMA
-    read/write touches only this tile's slice — no atomics, no races;
+  * grid = one program per 16x16 tile, walking the UNPADDED depth-sorted
+    entry list directly: tile t owns entries [tile_start[t], tile_start[t+1])
+    and DMAs the 128-aligned chunk windows covering that range, masking
+    out-of-range lanes. Adjacent tiles may share a boundary chunk — safe for
+    reads, and safe for the backward's writes because the TPU grid executes
+    sequentially (one core): seam chunks are merged read-add-write, and each
+    program drains its store DMAs before returning, so the next program
+    always observes them. This removes the padded-entry repack of earlier
+    designs (two budget-sized descriptor-rate gathers, ~14 ms/iter at bench
+    scale on v5e);
   * entry data lives transposed in HBM as (16, budget) f32 — rows are
     attributes [x, y, conic0, conic1, conic2, opacity, r, g, b, pad...],
     columns are entries — so a chunk is a (16, 128) lane-aligned DMA;
@@ -12,15 +19,19 @@ Design (vs the chunked pure-JAX walker in ops/compositing.py):
     lanes): entry attributes broadcast as (1, C) rows, pixel coordinates as
     (P, 1) columns — zero transposes, full VPU tiles;
   * the front-to-back recurrence is closed into vector form with log2(C)
-    shift-multiply scans along lanes (Hillis-Steele); T-product uses
-    exp-sum-log (Mosaic has no reduce_prod/scatter);
+    shift-multiply scans along lanes (Hillis-Steele);
   * forward early-exits a tile once every pixel crosses the 1e-4
-    transmittance cutoff; outputs pack [r, g, b, T] as a (4, P) block;
+    transmittance cutoff and records HOW MANY chunks it walked (kstop, an
+    SMEM output). The backward walks only those kstop chunks — on
+    high-overdraw scenes this skips most of the entry list (everything
+    behind the last contributing splat has zero gradient). Skipped chunks
+    stay zero because the gradient output buffer is input_output_aliased to
+    a zeros array;
   * backward reuses the saved per-tile output: gsplat's back-to-front suffix
     accumulators are recovered front-to-back from S_total = g_rgb . acc, so a
     single forward-order walk emits per-entry gradients for
-    xy/conic/color/opacity into this tile's exclusive output chunks.
-    Per-Gaussian reduction is a JAX scatter-add outside the kernel.
+    xy/conic/color/opacity. Per-Gaussian reduction is a sort-based
+    segment-sum outside the kernel (gather_entries_segsum).
 
 References: compositing semantics mirror /root/reference/utils/gs_utils.py:96-109
 and SURVEY.md C14; kernel structure follows the Pallas TPU guide (DMA +
@@ -94,7 +105,11 @@ def _gather_segsum_bwd(res, ct):
     c = jnp.cumsum(dsort, axis=-1)
     c = jnp.concatenate([jnp.zeros(c.shape[:-1] + (1,), c.dtype), c],
                         axis=-1)
-    d_pg = c[:, gauss_starts[1:]] - c[:, gauss_starts[:-1]]  # (used, N)
+    # ONE boundary gather at all N+1 starts, then diff along the gathered
+    # axis (gather cost on TPU is per-index, so two gathers at starts[1:]
+    # and starts[:-1] would double it)
+    cb = c[:, gauss_starts]                                  # (used, N + 1)
+    d_pg = cb[:, 1:] - cb[:, :-1]                            # (used, N)
     n = d_pg.shape[-1]
     d_pg = jnp.pad(d_pg, ((0, w - used), (0, n_pad - n)))
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
@@ -229,13 +244,16 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
     num_tiles = tiles_img * num_images     # total grid (V views flattened)
     p = ts * ts
     chunk = CHUNK
+    assert budget % chunk == 0, (budget, chunk)
 
     # ------------------------------------------------------------- forward
-    def fwd_kernel(tile_start_ref, packed_ref, out_ref, ebuf, sbuf, sem):
+    def fwd_kernel(meta_ref, packed_ref, out_ref, kstop_ref, ebuf, sbuf, sem):
         t = pl.program_id(0)
-        start = tile_start_ref[t]
-        nchunks = (tile_start_ref[t + 1] - start) // chunk
-        count = tile_start_ref[num_tiles + 1 + t]
+        start = meta_ref[t]
+        end = meta_ref[t + 1]
+        first = start // chunk
+        base0 = first * chunk
+        nchunks = jnp.where(end > start, (end - 1) // chunk + 1 - first, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         A, _, ox, oy = _pixel_bases(ts, tiles_x, jax.lax.rem(t, tiles_img))
         # per-tile state in VMEM columns: [r, g, b, T, done, 0, 0, 0]
@@ -246,7 +264,7 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
 
         def chunk_dma(slot, k):
             return pltpu.make_async_copy(
-                packed_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk,
+                packed_ref.at[:, pl.ds(pl.multiple_of(base0 + k * chunk,
                                                       chunk), chunk)],
                 ebuf.at[slot], sem.at[slot])
 
@@ -270,7 +288,8 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             e = ebuf[slot]
             t_in = sbuf[:, 3:4]
             done = sbuf[:, 4:5] > 0.5
-            lane_valid = (k * chunk + lane) < count
+            gpos = base0 + k * chunk + lane
+            lane_valid = (gpos >= start) & (gpos < end)
             q = _chunk_quantities(e, A, ox, oy, t_in, done, athr, amax, eps,
                                   lane_valid)
             # (P, C) @ (C, 3) on the MXU instead of 3 lane reductions
@@ -293,29 +312,41 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             chunk_dma(jax.lax.rem(k_final, 2), k_final).wait()
 
         out_ref[0] = sbuf[:, 0:4]
+        kstop_ref[t] = k_final
 
     grid_fwd = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[pl.BlockSpec((1, p, 4), lambda t, s: (t, 0, 0),
-                                memory_space=pltpu.VMEM)],
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
                         pltpu.VMEM((p, 8), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))])
     fwd_call = pl.pallas_call(
         fwd_kernel,
         grid_spec=grid_fwd,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, 4), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((num_tiles,), jnp.int32)],
         interpret=interpret)
 
     # ------------------------------------------------------------ backward
-    def bwd_kernel(tile_start_ref, packed_ref, g_out_ref, out_saved_ref,
-                   dout_ref, ebuf, obuf, sbuf, sem_in, sem_out):
+    # meta = concat(tile_start (T+1), kstop (T)). Walks only the kstop
+    # chunks the forward composited; untouched chunks keep the zeros of the
+    # aliased output buffer. Seam chunks (shared with the previous /
+    # next tile's window) are merged by read-add-write: out-of-range lanes
+    # produce exactly-zero gradient rows, and the sequential TPU grid plus
+    # the end-of-program store drain order the seam writes.
+    def bwd_kernel(meta_ref, packed_ref, g_out_ref, out_saved_ref, zeros_ref,
+                   dout_ref, ebuf, rbuf, obuf, sbuf, sem_in, sem_rd, sem_out):
         t = pl.program_id(0)
-        start = tile_start_ref[t]
-        nchunks = (tile_start_ref[t + 1] - start) // chunk
-        count = tile_start_ref[num_tiles + 1 + t]
+        start = meta_ref[t]
+        end = meta_ref[t + 1]
+        first = start // chunk
+        base0 = first * chunk
+        nchunks = jnp.where(end > start, (end - 1) // chunk + 1 - first, 0)
+        nchunks = jnp.minimum(nchunks, meta_ref[num_tiles + 1 + t])
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         A, AT, ox, oy = _pixel_bases(ts, tiles_x, jax.lax.rem(t, tiles_img))
         g_rgb = g_out_ref[0][:, 0:3]                   # (p, 3)
@@ -331,13 +362,20 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
 
         def chunk_dma(slot, k):
             return pltpu.make_async_copy(
-                packed_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk,
+                packed_ref.at[:, pl.ds(pl.multiple_of(base0 + k * chunk,
                                                       chunk), chunk)],
                 ebuf.at[slot], sem_in.at[slot])
+
+        def read_dma(slot, k):
+            return pltpu.make_async_copy(
+                dout_ref.at[:, pl.ds(pl.multiple_of(base0 + k * chunk,
+                                                    chunk), chunk)],
+                rbuf.at[slot], sem_rd.at[slot])
 
         @pl.when(nchunks > 0)
         def _():
             chunk_dma(0, 0).start()
+            read_dma(0, 0).start()
 
         def body(k, _):
             slot = jax.lax.rem(k, 2)
@@ -351,7 +389,8 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             t_in = sbuf[:, 0:1]
             done = sbuf[:, 1:2] > 0.5
             s_rem = sbuf[:, 2:3]
-            lane_valid = (k * chunk + lane) < count
+            gpos = base0 + k * chunk + lane
+            lane_valid = (gpos >= start) & (gpos < end)
             q = _chunk_quantities(e, A, ox, oy, t_in, done, athr, amax, eps,
                                   lane_valid)
             # gc(p, c) = sum_ch g_ch(p) color_ch(c): one MXU matmul
@@ -402,13 +441,21 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
                 pltpu.make_async_copy(
                     obuf.at[slot],
                     dout_ref.at[:, pl.ds(pl.multiple_of(
-                        (start + (k - 2) * chunk), chunk), chunk)],
+                        (base0 + (k - 2) * chunk), chunk), chunk)],
                     sem_out.at[slot]).wait()
 
-            obuf[slot] = jnp.concatenate(rows, axis=0)
+            read_dma(slot, k).wait()
+
+            @pl.when(k + 1 < nchunks)
+            def _():
+                read_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+            # merge: out-of-range lanes carry zero rows, in-range lanes of
+            # rbuf are zero (aliased zeros; only neighbours wrote there)
+            obuf[slot] = rbuf[slot] + jnp.concatenate(rows, axis=0)
             pltpu.make_async_copy(
                 obuf.at[slot],
-                dout_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk),
+                dout_ref.at[:, pl.ds(pl.multiple_of(base0 + k * chunk, chunk),
                                      chunk)],
                 sem_out.at[slot]).start()
             s_rem_new = s_rem - pre_incl[:, -1:]
@@ -423,7 +470,7 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             slot = jax.lax.rem(k, 2)
             pltpu.make_async_copy(
                 obuf.at[slot],
-                dout_ref.at[:, pl.ds(pl.multiple_of(start + k * chunk, chunk),
+                dout_ref.at[:, pl.ds(pl.multiple_of(base0 + k * chunk, chunk),
                                      chunk)],
                 sem_out.at[slot]).wait()
             return 0
@@ -438,37 +485,41 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 4), lambda t, s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
                         pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
+                        pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
                         pltpu.VMEM((p, 8), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))])
     bwd_call = pl.pallas_call(
         bwd_kernel,
         grid_spec=grid_bwd,
         out_shape=[jax.ShapeDtypeStruct((PACK_W, budget), jnp.float32)],
+        # inputs: (meta, packed, g_out, out_saved, zeros) — alias the zeros
+        # buffer to the gradient output so skipped chunks stay exactly zero
+        input_output_aliases={4: 0},
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             has_side_effects=True))
 
     @jax.custom_vjp
     def composite(packed_t, tile_start):
-        (out,) = fwd_call(tile_start, packed_t)
+        out, _ = fwd_call(tile_start, packed_t)
         return out
 
     def composite_fwd(packed_t, tile_start):
-        (out,) = fwd_call(tile_start, packed_t)
-        return out, (packed_t, tile_start, out)
+        out, kstop = fwd_call(tile_start, packed_t)
+        return out, (packed_t, tile_start, out, kstop)
 
     def composite_bwd(res, g_out):
-        packed_t, tile_start, out = res
-        (d_packed,) = bwd_call(tile_start, packed_t, g_out, out)
-        # columns past the last padded tile end are never written
-        written = (jax.lax.broadcasted_iota(jnp.int32, (1, budget), 1)
-                   < tile_start[num_tiles])
-        d_packed = jnp.where(written, d_packed, 0.0)
+        packed_t, tile_start, out, kstop = res
+        meta = jnp.concatenate([tile_start, kstop])
+        zeros = jnp.zeros((PACK_W, budget), jnp.float32)
+        (d_packed,) = bwd_call(meta, packed_t, g_out, out, zeros)
         d_ts = np.zeros(tile_start.shape, jax.dtypes.float0)
         return d_packed, d_ts
 
@@ -482,15 +533,15 @@ def _cached_calls(*args):
 
 
 def composite_packed(
-    packed_t: jnp.ndarray, tile_start: jnp.ndarray, tile_counts: jnp.ndarray,
+    packed_t: jnp.ndarray, tile_start: jnp.ndarray,
     img_height: int, img_width: int, tile_size: int, background,
     alpha_threshold: float = 1.0 / 255.0, max_alpha: float = 0.999,
     transmittance_eps: float = 1e-4, interpret: bool | None = None,
     num_images: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Core entry point: pre-packed (PACK_W, budget) entries with chunk-
-    aligned exclusive tile ranges; `tile_counts` gives each tile's true entry
-    count (padding lanes are masked in-kernel).
+    """Core entry point: pre-packed (PACK_W, budget) depth-sorted entries;
+    tile t owns the UNPADDED range [tile_start[t], tile_start[t+1]) (the
+    binning sort's per-tile offsets, no chunk alignment required).
 
     With ``num_images`` V > 1 the entry list covers V views flattened as one
     virtual image of V * tiles-per-image tiles (one kernel launch for the
@@ -502,9 +553,7 @@ def composite_packed(
         img_height, img_width, tile_size, float(alpha_threshold),
         float(max_alpha), float(transmittance_eps), budget, bool(interpret),
         num_images)
-    meta = jnp.concatenate([tile_start.astype(jnp.int32),
-                            tile_counts.astype(jnp.int32)])
-    out = composite(packed_t, meta)
+    out = composite(packed_t, tile_start.astype(jnp.int32))
     ts = tile_size
     v = num_images
     rgb = (out[:, :, 0:3]
@@ -528,12 +577,10 @@ def composite_tiles_pallas(
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-entry-array single-image wrapper (compositing.composite_tiles
-    contract); the caller must already have zeroed padding opacities, so
-    tile_counts covers the whole padded ranges."""
+    contract): depth-sorted entries with unpadded per-tile ranges."""
     assert chunk == CHUNK, "pallas path uses 128-entry chunks"
     packed_t = pack_entries_t(entry_xy, entry_conic, entry_color, entry_opac)
-    counts = tile_start[1:] - tile_start[:-1]
     rgb, alpha = composite_packed(
-        packed_t, tile_start, counts, img_height, img_width, tile_size,
+        packed_t, tile_start, img_height, img_width, tile_size,
         background, alpha_threshold, max_alpha, transmittance_eps, interpret)
     return rgb[0], alpha[0]

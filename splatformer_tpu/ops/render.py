@@ -120,9 +120,7 @@ def _render_images_pallas(
     config: RasterizeConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All V views in ONE flat pipeline (see module docstring)."""
-    from splatformer_tpu.ops.binning import pad_tile_ranges
-    from splatformer_tpu.ops.pallas.raster import (CHUNK, PACK_W,
-                                                   composite_packed,
+    from splatformer_tpu.ops.pallas.raster import (PACK_W, composite_packed,
                                                    gather_entries_segsum,
                                                    pack_entries_t)
     v = cameras.c2w.shape[0]
@@ -164,15 +162,16 @@ def _render_images_pallas(
     bins = bin_gaussians(projf, height, width, ts, total_budget,
                          config.tiles_per_gauss, tile_offset=tile_offset,
                          num_images=v)
-    pbins = pad_tile_ranges(bins, v * tiles_img, CHUNK, total_budget)
 
     pg_flat = pg_b.transpose(1, 0, 2).reshape(PACK_W, v * n_pad)
-    sortkey = jnp.where(pbins.valid, pbins.gauss_idx, v * n_pad)
-    packed_t = gather_entries_segsum(pg_flat, pbins.gauss_idx, sortkey,
+    # entries past the budget threshold sorted to the tail (sentinel tile);
+    # the kernels never touch them and the segsum backward keys them out
+    entry_valid = bins.tile_ids < v * tiles_img
+    sortkey = jnp.where(entry_valid, bins.gauss_idx, v * n_pad)
+    packed_t = gather_entries_segsum(pg_flat, bins.gauss_idx, sortkey,
                                      bins.gauss_starts)
-    counts = bins.tile_start[1:] - bins.tile_start[:-1]
     rgb, alpha = composite_packed(
-        packed_t, pbins.tile_start, counts, height, width, ts, background,
+        packed_t, bins.tile_start, height, width, ts, background,
         alpha_threshold=config.alpha_threshold,
         max_alpha=config.max_alpha,
         transmittance_eps=config.transmittance_eps,

@@ -75,7 +75,7 @@ def test_segsum_gather_backward_matches_scatter(setup):
     """The sort+cumsum backward of gather_entries_segsum must equal the
     autodiff (scatter-add) transpose of a plain gather, including under a
     budget overflow (key-threshold truncation keeps counts exact)."""
-    from splatformer_tpu.ops.binning import bin_gaussians, pad_tile_ranges
+    from splatformer_tpu.ops.binning import bin_gaussians
     from splatformer_tpu.ops.camera import opengl_c2w_to_opencv_w2c
     from splatformer_tpu.ops.pallas.raster import (CHUNK, PACK_W,
                                                    gather_entries_segsum)
@@ -92,27 +92,28 @@ def test_segsum_gather_backward_matches_scatter(setup):
 
     rng = np.random.default_rng(0)
     n = proj.xys.shape[0]
+    num_tiles = ((cam.width + 15) // 16) * ((cam.height + 15) // 16)
     for max_i in (2**12, 64):  # ample budget, and a forced overflow
         bins = bin_gaussians(proj, cam.height, cam.width, 16, max_i, 16)
-        num_tiles = ((cam.width + 15) // 16) * ((cam.height + 15) // 16)
-        pbins = pad_tile_ranges(bins, num_tiles, CHUNK, max_i)
-        sortkey = jnp.where(pbins.valid, pbins.gauss_idx, n)
-        budget = pbins.gauss_idx.shape[0]
+        entry_valid = bins.tile_ids < num_tiles
+        sortkey = jnp.where(entry_valid, bins.gauss_idx, n)
+        budget = bins.gauss_idx.shape[0]
         n_pad = ((n + CHUNK - 1) // CHUNK) * CHUNK
         pg = jnp.asarray(rng.normal(size=(PACK_W, n_pad)), jnp.float32)
         ct = jnp.asarray(rng.normal(size=(PACK_W, budget)), jnp.float32)
-        # the kernel contract: zero cotangents on padding slots AND on the
-        # pack-padding rows (only the 9 real attribute rows carry gradient)
-        ct = jnp.where(pbins.valid[None, :], ct, 0.0)
+        # the kernel contract: zero cotangents on invalid (past-budget)
+        # entries AND on the pack-padding rows (only the 9 real attribute
+        # rows carry gradient)
+        ct = jnp.where(entry_valid[None, :], ct, 0.0)
         ct = ct.at[9:].set(0.0)
 
         def via_segsum(pg):
-            out = gather_entries_segsum(pg, pbins.gauss_idx, sortkey,
+            out = gather_entries_segsum(pg, bins.gauss_idx, sortkey,
                                         bins.gauss_starts)
             return jnp.sum(out * ct)
 
         def via_scatter(pg):
-            out = jnp.where(pbins.valid[None, :], pg[:, pbins.gauss_idx], 0.0)
+            out = jnp.where(entry_valid[None, :], pg[:, bins.gauss_idx], 0.0)
             return jnp.sum(out * ct)
 
         g_a = jax.jit(jax.grad(via_segsum))(pg)
