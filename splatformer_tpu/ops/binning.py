@@ -173,8 +173,17 @@ def bin_gaussians(
     if s2 > s1 or s3 > s2:
         # one descending argsort serves both tiers (prefix-nested, so a
         # tier-3 Gaussian always also emitted its tier-2 slots); two top_k
-        # calls cost two sorts and can disagree on ties
-        _, by_count = jax.lax.sort_key_val(-count, all_idx)
+        # calls cost two sorts and can disagree on ties. When the bit
+        # budget allows, pack (count, idx) into ONE int32 key — a
+        # single-array sort runs ~2x faster than the key/value pair sort
+        # on TPU (identical order: count descending, ties by index).
+        cbits = num_tiles.bit_length()       # count <= tiles per image
+        nbits = max((n - 1).bit_length(), 1)
+        if cbits + nbits <= 31:
+            packed = ((num_tiles - count) << nbits) | all_idx
+            by_count = jax.lax.sort(packed, dimension=0) & ((1 << nbits) - 1)
+        else:
+            _, by_count = jax.lax.sort_key_val(-count, all_idx)
     if s2 > s1:
         idx2 = by_count[:k2]
         tiles2, dep2, gid2 = tier_candidates(idx2, s1, s2)

@@ -94,6 +94,21 @@ def _gather_segsum_fwd(pgauss_t, gidx, sortkey, gauss_starts):
     return pgauss_t[:, gidx], (pgauss_t.shape, sortkey, gauss_starts)
 
 
+def _cumsum_lanes_blocked(x: jnp.ndarray, block: int = 128) -> jnp.ndarray:
+    """Inclusive cumsum along the last axis of a 2-D f32 array.
+
+    XLA lowers a long-axis cumsum to ~log2(n) full-array shifted adds
+    (2.8 ms for (9, 1M) on v5e); blocking to 128 lanes + a tiny block-offset
+    pass is ~3x less traffic."""
+    rows, n = x.shape
+    nb = (n + block - 1) // block
+    x3 = jnp.pad(x, ((0, 0), (0, nb * block - n))).reshape(rows, nb, block)
+    cs = jnp.cumsum(x3, axis=-1)
+    totals = cs[:, :, -1]
+    off = jnp.cumsum(totals, axis=-1) - totals             # exclusive
+    return (cs + off[:, :, None]).reshape(rows, nb * block)[:, :n]
+
+
 def _gather_segsum_bwd(res, ct):
     (w, n_pad), sortkey, gauss_starts = res
     # only the 9 real attribute rows carry gradient; rows 9..PACK_W are the
@@ -102,7 +117,7 @@ def _gather_segsum_bwd(res, ct):
     ops = (sortkey,) + tuple(ct[i] for i in range(used))
     sorted_ = jax.lax.sort(ops, dimension=sortkey.ndim - 1, num_keys=1)
     dsort = jnp.stack(sorted_[1:], axis=0)                 # (used, budget)
-    c = jnp.cumsum(dsort, axis=-1)
+    c = _cumsum_lanes_blocked(dsort)
     c = jnp.concatenate([jnp.zeros(c.shape[:-1] + (1,), c.dtype), c],
                         axis=-1)
     # ONE boundary gather at all N+1 starts, then diff along the gathered
@@ -125,20 +140,15 @@ def _shift_right(v, s, identity):
     return jnp.concatenate([pad, v[..., :-s]], axis=-1)
 
 
-def _cumprod_lanes(v):
-    s = 1
-    while s < v.shape[-1]:
-        v = v * _shift_right(v, s, 1.0)
-        s *= 2
-    return v
-
-
-def _cumsum_lanes(v):
-    s = 1
-    while s < v.shape[-1]:
-        v = v + _shift_right(v, s, 0.0)
-        s *= 2
-    return v
+def _tri_inclusive(c: int) -> jnp.ndarray:
+    """(C, C) f32 with [i, j] = 1 where i <= j: `v @ tri` is an inclusive
+    cumsum along lanes as ONE MXU matmul — replaces the log2(C)-step
+    shift-multiply Hillis-Steele scan (14 full-width VPU ops for C=128,
+    the largest single block of per-chunk vector work in these kernels).
+    bf16x6 matmul passes keep it exact to ~2^-45 relative."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return (row <= col).astype(jnp.float32)
 
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -178,20 +188,23 @@ def _pixel_bases(ts: int, tiles_x: int, t):
     return A, AT, ox, oy
 
 
-def _chunk_quantities(e, A, ox, oy, t_in, done_in, athr, amax, eps,
+def _chunk_quantities(e, A, ox, oy, t_in, done_in, athr, amax, eps, tri,
                       lane_valid=None):
     """Shared fwd/bwd math for one (P, C) block.
 
     e: (PACK_W, C) attribute rows; A: (P, 6) centered pixel basis;
     ox/oy: tile-center pixel coordinates (scalars); t_in/done_in: (P, 1);
+    tri: (C, C) inclusive-cumsum matrix (_tri_inclusive);
     lane_valid: (1, C) mask of real (non-padding) entries in this chunk.
 
     sigma is evaluated as ONE MXU matmul A @ B of the expanded quadratic
     (B built from per-entry conics in centered coordinates) instead of
-    ~10 (P, C) VPU ops; the compositing recurrence exploits that the
-    running transmittance ``incl`` is monotone non-increasing along lanes,
-    so gsplat's early-termination masks are plain comparisons (no lane
-    cumsum) and t_out is a lane min-reduce.
+    ~10 (P, C) VPU ops; the transmittance cumprod runs in log domain so
+    the lane scan is one MXU matmul (`log(om) @ tri` then exp). The
+    compositing recurrence exploits that the running transmittance
+    ``incl`` is monotone non-increasing along lanes, so gsplat's
+    early-termination masks are plain comparisons and t_out is a lane
+    min-reduce.
     """
     x = e[0:1, :] - ox                     # (1, C) centered entry coords
     y = e[1:2, :] - oy
@@ -215,7 +228,8 @@ def _chunk_quantities(e, A, ox, oy, t_in, done_in, athr, amax, eps,
     okm = a >= athr
     a = jnp.where(okm, a, 0.0)
     om = 1.0 - a
-    incl = _cumprod_lanes(om) * t_in
+    # om in [1 - amax, 1]: log is finite; skipped lanes have om = 1 -> 0
+    incl = jnp.exp(_dot(jnp.log(om), tri)) * t_in
     excl = _shift_right(incl, 1, 1.0)
     col0 = jax.lax.broadcasted_iota(jnp.int32, excl.shape, 1) == 0
     excl = jnp.where(col0, t_in, excl)
@@ -256,6 +270,7 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         nchunks = jnp.where(end > start, (end - 1) // chunk + 1 - first, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         A, _, ox, oy = _pixel_bases(ts, tiles_x, jax.lax.rem(t, tiles_img))
+        tri = _tri_inclusive(chunk)
         # per-tile state in VMEM columns: [r, g, b, T, done, 0, 0, 0]
         init_cols = jnp.concatenate(
             [jnp.zeros((p, 3), jnp.float32), jnp.ones((p, 1), jnp.float32),
@@ -291,7 +306,7 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             gpos = base0 + k * chunk + lane
             lane_valid = (gpos >= start) & (gpos < end)
             q = _chunk_quantities(e, A, ox, oy, t_in, done, athr, amax, eps,
-                                  lane_valid)
+                                  tri, lane_valid)
             # (P, C) @ (C, 3) on the MXU instead of 3 lane reductions
             rgb_new = sbuf[:, 0:3] + jax.lax.dot_general(
                 q["vis"], e[6:9, :], (((1,), (1,)), ((), ())),
@@ -334,10 +349,13 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
     # ------------------------------------------------------------ backward
     # meta = concat(tile_start (T+1), kstop (T)). Walks only the kstop
     # chunks the forward composited; untouched chunks keep the zeros of the
-    # aliased output buffer. Seam chunks (shared with the previous /
-    # next tile's window) are merged by read-add-write: out-of-range lanes
-    # produce exactly-zero gradient rows, and the sequential TPU grid plus
-    # the end-of-program store drain order the seam writes.
+    # aliased output buffer. Only a tile's FIRST window chunk can have been
+    # written before it runs (tile entry ranges are monotone, so every
+    # earlier tile's window ends at or before this tile's first chunk) — so
+    # k == 0 is merged read-add-write and all later chunks are plain writes,
+    # removing a per-chunk read DMA stream. Out-of-range lanes produce
+    # exactly-zero gradient rows, and the sequential TPU grid plus the
+    # end-of-program store drain order the seam writes.
     def bwd_kernel(meta_ref, packed_ref, g_out_ref, out_saved_ref, zeros_ref,
                    dout_ref, ebuf, rbuf, obuf, sbuf, sem_in, sem_rd, sem_out):
         t = pl.program_id(0)
@@ -349,6 +367,7 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         nchunks = jnp.minimum(nchunks, meta_ref[num_tiles + 1 + t])
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         A, AT, ox, oy = _pixel_bases(ts, tiles_x, jax.lax.rem(t, tiles_img))
+        tri = _tri_inclusive(chunk)
         g_rgb = g_out_ref[0][:, 0:3]                   # (p, 3)
         gT = g_out_ref[0][:, 3:4]
         g_rgb_t = jnp.transpose(g_rgb)                 # (3, p)
@@ -366,16 +385,15 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
                                                       chunk), chunk)],
                 ebuf.at[slot], sem_in.at[slot])
 
-        def read_dma(slot, k):
+        def read_dma():
             return pltpu.make_async_copy(
-                dout_ref.at[:, pl.ds(pl.multiple_of(base0 + k * chunk,
-                                                    chunk), chunk)],
-                rbuf.at[slot], sem_rd.at[slot])
+                dout_ref.at[:, pl.ds(pl.multiple_of(base0, chunk), chunk)],
+                rbuf, sem_rd)
 
         @pl.when(nchunks > 0)
         def _():
             chunk_dma(0, 0).start()
-            read_dma(0, 0).start()
+            read_dma().start()
 
         def body(k, _):
             slot = jax.lax.rem(k, 2)
@@ -392,13 +410,13 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             gpos = base0 + k * chunk + lane
             lane_valid = (gpos >= start) & (gpos < end)
             q = _chunk_quantities(e, A, ox, oy, t_in, done, athr, amax, eps,
-                                  lane_valid)
+                                  tri, lane_valid)
             # gc(p, c) = sum_ch g_ch(p) color_ch(c): one MXU matmul
             gc = jax.lax.dot_general(
                 g_rgb, e[6:9, :], (((1,), (0,)), ((), ())),
                 precision=_HIGHEST, preferred_element_type=jnp.float32)
             terms = jnp.where(q["contrib"], gc * q["vis"], 0.0)
-            pre_incl = _cumsum_lanes(terms)
+            pre_incl = _dot(terms, tri)   # inclusive lane cumsum on the MXU
             s_after = s_rem - pre_incl
             da = q["excl"] * gc - (s_after + gt_term) / q["om"]
             # sigma-clamp derivative: zero where the clamp was active
@@ -444,15 +462,19 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
                         (base0 + (k - 2) * chunk), chunk), chunk)],
                     sem_out.at[slot]).wait()
 
-            read_dma(slot, k).wait()
+            # merge only the first chunk: out-of-range lanes carry zero
+            # rows, in-range lanes of rbuf are zero (aliased zeros; only
+            # earlier tiles wrote there)
+            block = jnp.concatenate(rows, axis=0)
 
-            @pl.when(k + 1 < nchunks)
+            @pl.when(k == 0)
             def _():
-                read_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+                read_dma().wait()
+                obuf[slot] = rbuf[:, :] + block
 
-            # merge: out-of-range lanes carry zero rows, in-range lanes of
-            # rbuf are zero (aliased zeros; only neighbours wrote there)
-            obuf[slot] = rbuf[slot] + jnp.concatenate(rows, axis=0)
+            @pl.when(k > 0)
+            def _():
+                obuf[slot] = block
             pltpu.make_async_copy(
                 obuf.at[slot],
                 dout_ref.at[:, pl.ds(pl.multiple_of(base0 + k * chunk, chunk),
@@ -489,11 +511,11 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
-                        pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
+                        pltpu.VMEM((PACK_W, chunk), jnp.float32),
                         pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
                         pltpu.VMEM((p, 8), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA((2,))])
     bwd_call = pl.pallas_call(
         bwd_kernel,
