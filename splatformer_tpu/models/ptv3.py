@@ -318,12 +318,20 @@ class PointTransformerV3(nn.Module):
     pool_capacity_factors: Sequence[float] = (1.0, 0.75, 0.625, 0.5)
     bn_axis_name: Optional[str] = None
     additional_info: Optional[Dict[str, Any]] = None
+    # rematerialize each Block on the backward pass: within-block attention
+    # temps (notably the (B, H, K, ch) qkv layouts, which TPU tiling pads
+    # 8x for ch=16 heads) otherwise dominate peak HBM at 100k-point scale
+    # (measured 23.9 GB > 15.75 GB chip HBM for one train step; rematted the
+    # live set is one block at a time)
+    remat_blocks: bool = True
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool = False
                  ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         num_stages = len(self.enc_depths)
         assert num_stages == len(self.stride) + 1
+        block_cls = (nn.remat(Block, static_argnums=(3,))
+                     if self.remat_blocks else Block)
 
         import numpy as _np
         enc_dp = [float(x) for x in _np.linspace(
@@ -341,6 +349,7 @@ class PointTransformerV3(nn.Module):
         # encoder
         skips = []      # per-stage PointBatch after blocks
         clusters = []   # per-transition cluster maps
+        stage_nbrs = []  # per-stage conv structures, reused by the decoder
         diagnostics = {}
         for s in range(num_stages):
             if s > 0:
@@ -359,9 +368,10 @@ class PointTransformerV3(nn.Module):
                 skips.append(pb)
                 pb = pb_child
             nbr = build_neighbor_map(pb.grid_coord, pb.mask)
+            stage_nbrs.append(nbr)
             dp_slice = enc_dp[sum(self.enc_depths[:s]):sum(self.enc_depths[:s + 1])]
             for i in range(self.enc_depths[s]):
-                pb = Block(
+                pb = block_cls(
                     channels=self.enc_channels[s],
                     num_heads=self.enc_num_head[s],
                     patch_size=self.enc_patch_size[s],
@@ -382,11 +392,14 @@ class PointTransformerV3(nn.Module):
             pb = SerializedUnpooling(
                 out_channels=dec_channels[s], bn_axis_name=self.bn_axis_name,
                 name=f"dec{s}_up")(pb, parent, cluster, train)
-            nbr = build_neighbor_map(pb.grid_coord, pb.mask)
+            # the unpooled point set IS the encoder stage-s point set — reuse
+            # its conv structure instead of rebuilding (the sort-join is the
+            # costliest non-matmul op in the backbone)
+            nbr = stage_nbrs[s]
             dp_slice = dec_dp[sum(self.dec_depths[:s]):sum(self.dec_depths[:s + 1])]
             dp_slice = dp_slice[::-1]  # reference reverses per-stage
             for i in range(self.dec_depths[s]):
-                pb = Block(
+                pb = block_cls(
                     channels=dec_channels[s],
                     num_heads=self.dec_num_head[s],
                     patch_size=self.dec_patch_size[s],

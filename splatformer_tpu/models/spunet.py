@@ -71,7 +71,7 @@ class SpUNet(nn.Module):
         h = nn.relu(h)
         pb = pb.replace(feat=h)
 
-        skips, clusters = [], []
+        skips, clusters, stage_nbrs = [], [], []
         for s in range(num_stages):
             if s > 0:
                 cap = _round_up(
@@ -86,6 +86,7 @@ class SpUNet(nn.Module):
                 clusters.append(cluster)
                 pb = child
             nbr = build_neighbor_map(pb.grid_coord, pb.mask)
+            stage_nbrs.append(nbr)
             for i in range(self.depths[s]):
                 f = SparseConvBlock(self.channels[s],
                                     bn_axis_name=self.bn_axis_name,
@@ -98,7 +99,7 @@ class SpUNet(nn.Module):
             pb = SerializedUnpooling(
                 out_channels=dec_channels[s], bn_axis_name=self.bn_axis_name,
                 name=f"dec{s}_up")(pb, skips[s], clusters[s], train)
-            nbr = build_neighbor_map(pb.grid_coord, pb.mask)
+            nbr = stage_nbrs[s]  # same point set as encoder stage s
             for i in range(self.dec_depths[s]):
                 f = SparseConvBlock(dec_channels[s],
                                     bn_axis_name=self.bn_axis_name,

@@ -31,7 +31,7 @@ def test_neighbor_map_correctness(rng):
     n = 128
     grid = jnp.asarray(rng.integers(0, 8, (n, 3)), jnp.int32)
     mask = jnp.arange(n) < 100
-    nbr = np.asarray(build_neighbor_map(grid, mask))
+    nbr = np.asarray(build_neighbor_map(grid, mask).nbr)
     g = np.asarray(grid)
     m = np.asarray(mask)
     # center tap is self
@@ -61,6 +61,40 @@ def test_sparse_conv_identity_kernel(rng):
     w = jnp.zeros((27, c, c)).at[13].set(jnp.eye(c))  # center-only identity
     out = sparse_conv_apply(feat, nbr, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(feat), atol=1e-6)
+
+
+def test_sparse_conv_backward_exact_vs_autodiff(rng):
+    """The scatter-free custom backward must match autodiff of the plain
+    gather formulation — including multi-occupant voxels and masked points."""
+    n, c, cout = 96, 8, 6
+    # tiny grid -> guaranteed duplicate voxel keys
+    grid = jnp.asarray(rng.integers(0, 4, (n, 3)), jnp.int32)
+    mask = jnp.arange(n) < 80
+    feat = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(27, c, cout)), jnp.float32) * 0.2
+    b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    cs = build_neighbor_map(grid, mask)
+    cot = jnp.asarray(rng.normal(size=(n, cout)), jnp.float32)
+
+    def ref_conv(feat, w, b):
+        out = jnp.zeros((n, cout), jnp.float32)
+        for j in range(27):
+            idx = cs.nbr[:, j]
+            ok = idx >= 0
+            g = jnp.where(ok[:, None], feat[jnp.maximum(idx, 0)], 0.0)
+            out = out + g @ w[j]
+        return out + b
+
+    def loss(fn):
+        return lambda feat, w, b: jnp.sum(fn(feat, w, b) * cot)
+
+    g_ref = jax.grad(loss(ref_conv), argnums=(0, 1, 2))(feat, w, b)
+    g_cus = jax.grad(
+        loss(lambda f, w_, b_: sparse_conv_apply(f, cs, w_, b_)),
+        argnums=(0, 1, 2))(feat, w, b)
+    for a, bb, name in zip(g_ref, g_cus, ("feat", "w", "b")):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
 
 
 def test_ptv3_forward_shapes_and_mask_invariance(rng):

@@ -1,17 +1,15 @@
-"""Train-step throughput on one chip: full refine step (PTv3-base forward,
-4-view render, L1 loss, backward, adam update) on a synthetic 100k-Gaussian
-scene — the BASELINE.json "train iters/s" number.
+"""Capture a jax.profiler trace of the full train step and print top HLO ops.
 
-Prints one JSON line like bench.py (dev tool; bench.py stays the driver
-headline).
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/trace_train.py
 """
-import json
+import glob
 import sys
-import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+TRACE_DIR = "/tmp/splat_trace_train"
 
 
 def main():
@@ -27,8 +25,6 @@ def main():
     hw = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     views = 4
     rng = np.random.default_rng(0)
-    # pad to the data pipeline's bucket granularity (multiple of 1024, which
-    # also satisfies the backbone's patch-size divisibility)
     n_pad = ((n + 1023) // 1024) * 1024
     scene = random_scene(rng, n_pad, sh_degree=1, n_valid=n)
     model = FeaturePredictor(backbone_type="PT", sh_degree=1,
@@ -46,30 +42,35 @@ def main():
         images=jnp.asarray(rng.uniform(size=(views, hw, hw, 3)), jnp.float32),
         background=jnp.zeros(3))
     batch = jax.tree.map(lambda a: jnp.asarray(a)[None], batch)
-
     mesh = make_mesh(n_devices=1)
     batch = shard_batch(mesh, batch)
-    rcfg = RasterizeConfig()
-    step = make_train_step(model, tx, mesh, rcfg)
+    step = make_train_step(model, tx, mesh, RasterizeConfig())
 
-    t0 = time.perf_counter()
     state, metrics = step(state, batch, jax.random.key(1))
     jax.block_until_ready(metrics)
-    print(f"compile+1st step: {time.perf_counter() - t0:.1f}s",
-          {k: float(v) for k, v in metrics.items()}, file=sys.stderr)
+    print("warm step done", flush=True)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, batch, jax.random.key(i))
+    jax.profiler.start_trace(TRACE_DIR)
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.key(2 + i))
     jax.block_until_ready(metrics)
-    dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({
-        "metric": "train_step_iters_per_s_per_chip",
-        "value": round(1.0 / dt, 3),
-        "unit": "iters/s",
-        "vs_baseline": 1.0,
-    }))
+    jax.profiler.stop_trace()
+
+    xplanes = sorted(glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True))
+    print("xplane files:", xplanes, flush=True)
+    from xprof.convert import raw_to_tool_data as rtd
+    params_ = {"graph_viewer_options": {}}
+    for tool in ("framework_op_stats", "hlo_op_stats"):
+        try:
+            data, _ = rtd.xspace_to_tool_data(xplanes, tool, params_)
+            out = f"/tmp/splat_trace_train_{tool}.out"
+            if isinstance(data, bytes):
+                open(out, "wb").write(data)
+            else:
+                open(out, "w").write(str(data))
+            print("wrote", out, flush=True)
+        except Exception as e:
+            print(tool, "failed:", repr(e), flush=True)
 
 
 if __name__ == "__main__":
