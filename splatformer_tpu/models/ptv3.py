@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from splatformer_tpu.models.layers import DropPath, MaskedBatchNorm, Mlp
 from splatformer_tpu.models.point import PointBatch
@@ -145,7 +146,10 @@ class Block(nn.Module):
         w = self.param("cpe_conv_kernel",
                        nn.initializers.lecun_normal(), (27, c, c))
         b = self.param("cpe_conv_bias", nn.initializers.zeros, (c,))
-        h = sparse_conv_apply(feat, nbr, w, b)
+        # named so the remat policy can save it: the conv's 27-tap gather is
+        # the costliest recompute in a block (see remat_blocks)
+        h = checkpoint_name(sparse_conv_apply(feat, nbr, w, b),
+                            "cpe_conv_out")
         h = nn.Dense(c, name="cpe_linear")(h)
         h = MaskedBatchNorm(axis_name=self.bn_axis_name, name="cpe_norm")(
             h, pb.mask, train)
@@ -158,6 +162,7 @@ class Block(nn.Module):
             order_index=self.order_index, qkv_bias=self.qkv_bias,
             additional_info=self.additional_info, name="attn",
         )(h, pb.replace(feat=h), train)
+        h = checkpoint_name(h, "attn_out")
         h = DropPath(self.drop_path)(h, train)
         feat = shortcut + h
 
@@ -330,7 +335,12 @@ class PointTransformerV3(nn.Module):
                  ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         num_stages = len(self.enc_depths)
         assert num_stages == len(self.stride) + 1
-        block_cls = (nn.remat(Block, static_argnums=(3,))
+        # remat each block, but keep the conv and attention outputs (cheap
+        # (N, C) rows) so the backward recompute skips the 27-tap conv
+        # gathers and the full attention replay
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "cpe_conv_out", "attn_out")
+        block_cls = (nn.remat(Block, static_argnums=(3,), policy=policy)
                      if self.remat_blocks else Block)
 
         import numpy as _np
