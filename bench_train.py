@@ -34,7 +34,8 @@ def main():
     model = FeaturePredictor(backbone_type="PT", sh_degree=1,
                              grid_resolution=384,
                              res_feature_activation={"means": "tanh"},
-                             bn_axis_name="data")
+                             bn_axis_name="data",
+                             compute_dtype="bfloat16")
     tx = build_optimizer(
         model.init(jax.random.key(0), scene, False)["params"],
         lr_dict={"base": 1e-4, "backbone": 3e-5}, total_steps=100)

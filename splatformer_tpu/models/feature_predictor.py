@@ -90,6 +90,10 @@ class FeaturePredictor(nn.Module):
     bn_axis_name: Optional[str] = None
     additional_info: Optional[Dict[str, Any]] = None
     backbone_kwargs: Optional[Dict[str, Any]] = None
+    # "bfloat16" = mixed-precision block compute while training (TPU
+    # equivalent of the reference's AMP, configs/train/default.gin:11);
+    # params, norm statistics, heads, and eval stay f32
+    compute_dtype: Optional[str] = None
 
     def _activation(self, feature: str) -> Callable:
         acts = self.res_feature_activation or {"means": "tanh"}
@@ -130,6 +134,7 @@ class FeaturePredictor(nn.Module):
 
         if self.backbone_type == "PT":
             bk = dict(self.backbone_kwargs or {})
+            bk.setdefault("compute_dtype", self.compute_dtype)
             y, diagnostics = PointTransformerV3(
                 in_channels=feat.shape[-1], bn_axis_name=self.bn_axis_name,
                 additional_info=self.additional_info, name="backbone",

@@ -31,6 +31,8 @@ class MaskedBatchNorm(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
                  train: bool) -> jnp.ndarray:
         c = x.shape[-1]
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # statistics always in f32 (bf16 compute)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -63,7 +65,7 @@ class MaskedBatchNorm(nn.Module):
             var = ra_var.value.astype(x.dtype)
 
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        return (y * scale + bias).astype(in_dtype)
 
 
 class DropPath(nn.Module):
@@ -88,10 +90,11 @@ class Mlp(nn.Module):
 
     hidden: int
     out: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.gelu(x)
-        x = nn.Dense(self.out)(x)
+        x = nn.Dense(self.out, dtype=self.dtype)(x)
         return x

@@ -50,6 +50,7 @@ class SerializedAttention(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     additional_info: Optional[Dict[str, Any]] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, pb: PointBatch,
@@ -65,7 +66,8 @@ class SerializedAttention(nn.Module):
             pb.order_perm[self.order_index], pb.n_valid, k)
         inverse = pb.inverse_perm[self.order_index]
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(feat)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv",
+                       dtype=self.dtype)(feat)
         # (N, 3C) -> (B, K, 3, H, ch) -> (3, B, H, K, ch)
         qkv = qkv[order].reshape(n // k, k, 3, h, ch).transpose(2, 0, 3, 1, 4)
         q, kk, v = qkv[0], qkv[1], qkv[2]
@@ -118,7 +120,7 @@ class SerializedAttention(nn.Module):
         # per-block attention features for the visualizer (collected only
         # when apply(..., mutable=['intermediates']) requests them)
         self.sow("intermediates", "attn_feat", out)
-        out = nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, name="proj", dtype=self.dtype)(out)
         return out
 
 
@@ -136,42 +138,54 @@ class Block(nn.Module):
     qkv_bias: bool = True
     bn_axis_name: Optional[str] = None
     additional_info: Optional[Dict[str, Any]] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, pb: PointBatch, nbr: jnp.ndarray,
                  train: bool) -> PointBatch:
         c = self.channels
+        # mixed precision only while training (the reference's AMP wraps the
+        # train loss, not evaluation — train.py:214-218)
+        dt = self.dtype if train else None
         feat = pb.feat
+        if dt is not None:
+            feat = feat.astype(dt)
         # xCPE: SubMConv3d(3^3, bias) -> Linear -> BN, residual
         w = self.param("cpe_conv_kernel",
                        nn.initializers.lecun_normal(), (27, c, c))
         b = self.param("cpe_conv_bias", nn.initializers.zeros, (c,))
+        wc = w.astype(feat.dtype)
         # named so the remat policy can save it: the conv's 27-tap gather is
         # the costliest recompute in a block (see remat_blocks)
-        h = checkpoint_name(sparse_conv_apply(feat, nbr, w, b),
+        h = checkpoint_name(sparse_conv_apply(feat, nbr, wc,
+                                              b.astype(feat.dtype)),
                             "cpe_conv_out")
-        h = nn.Dense(c, name="cpe_linear")(h)
+        h = nn.Dense(c, name="cpe_linear", dtype=dt)(h)
         h = MaskedBatchNorm(axis_name=self.bn_axis_name, name="cpe_norm")(
             h, pb.mask, train)
         feat = feat + h
 
         shortcut = feat
-        h = nn.LayerNorm(name="norm1")(feat)
+        # LayerNorms stay f32 internally (flax promotes); output in compute
+        # dtype via the dtype arg
+        h = nn.LayerNorm(name="norm1", dtype=dt)(feat)
         h = SerializedAttention(
             channels=c, num_heads=self.num_heads, patch_size=self.patch_size,
             order_index=self.order_index, qkv_bias=self.qkv_bias,
             additional_info=self.additional_info, name="attn",
+            dtype=dt,
         )(h, pb.replace(feat=h), train)
         h = checkpoint_name(h, "attn_out")
         h = DropPath(self.drop_path)(h, train)
         feat = shortcut + h
 
         shortcut = feat
-        h = nn.LayerNorm(name="norm2")(feat)
+        h = nn.LayerNorm(name="norm2", dtype=dt)(feat)
         info = self.additional_info or {}
         merge_mode = info.get("tome", "base")
         merge_r = float(info.get("r", 0.0) or 0.0)
-        mlp = Mlp(hidden=int(c * self.mlp_ratio), out=c, name="mlp")
+        mlp = Mlp(hidden=int(c * self.mlp_ratio), out=c, name="mlp",
+                  dtype=dt)
         if (info.get("tome_mlp") and merge_r > 0.0
                 and merge_mode not in ("base", None, "none")):
             # fork's tome_mlp: run the block MLP on merged patch tokens
@@ -195,7 +209,7 @@ class Block(nn.Module):
             h = mlp(h)
         h = DropPath(self.drop_path)(h, train)
         feat = shortcut + h
-        return pb.replace(feat=feat)
+        return pb.replace(feat=feat.astype(pb.feat.dtype))
 
 
 class SerializedPooling(nn.Module):
@@ -329,12 +343,19 @@ class PointTransformerV3(nn.Module):
     # (measured 23.9 GB > 15.75 GB chip HBM for one train step; rematted the
     # live set is one block at a time)
     remat_blocks: bool = True
+    # compute dtype inside blocks (conv/attention/MLP matmuls + gathers);
+    # params, norms statistics, the inter-block residual stream, and pooling
+    # stay f32. bfloat16 is the TPU equivalent of the reference's AMP
+    # training (/root/reference/train.py:214-218, configs/train/default.gin:11)
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool = False
                  ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         num_stages = len(self.enc_depths)
         assert num_stages == len(self.stride) + 1
+        cdtype = (jnp.dtype(self.compute_dtype)
+                  if self.compute_dtype not in (None, "float32") else None)
         # remat each block, but keep the conv and attention outputs (cheap
         # (N, C) rows) so the backward recompute skips the 27-tap conv
         # gathers and the full attention replay
@@ -390,6 +411,7 @@ class PointTransformerV3(nn.Module):
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     bn_axis_name=self.bn_axis_name,
                     additional_info=self.additional_info,
+                    dtype=cdtype,
                     name=f"enc{s}_block{i}")(pb, nbr, train)
             diagnostics[f"enc{s}_n_valid"] = pb.n_valid
 
@@ -418,6 +440,7 @@ class PointTransformerV3(nn.Module):
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     bn_axis_name=self.bn_axis_name,
                     additional_info=self.additional_info,
+                    dtype=cdtype,
                     name=f"dec{s}_block{i}")(pb, nbr, train)
             intermediates[f"dec{s}"] = {
                 "feat": pb.feat, "code": pb.codes[0], "n_valid": pb.n_valid}

@@ -32,7 +32,8 @@ from splatformer_tpu.utils.logging import (device_peak_memory_mb, get_logger,
                                            save_image)
 
 
-def build_feature_predictor(model_cfg, bn_axis_name=None) -> FeaturePredictor:
+def build_feature_predictor(model_cfg, bn_axis_name=None,
+                            compute_dtype=None) -> FeaturePredictor:
     """Model from config — channel presets follow
     /root/reference/models/pointtransformer_v3.py:100-126."""
     b = model_cfg.backbone
@@ -71,7 +72,8 @@ def build_feature_predictor(model_cfg, bn_axis_name=None) -> FeaturePredictor:
         zeroinit=model_cfg.zeroinit,
         bn_axis_name=bn_axis_name,
         additional_info=info,
-        backbone_kwargs=backbone_kwargs)
+        backbone_kwargs=backbone_kwargs,
+        compute_dtype=compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -273,7 +275,9 @@ def run_training(cfg, output_dir: str,
     n_devices = mesh.devices.size
     rcfg = raster_config or RasterizeConfig()
 
-    model = build_feature_predictor(cfg.model, bn_axis_name="data")
+    model = build_feature_predictor(
+        cfg.model, bn_axis_name="data",
+        compute_dtype="bfloat16" if cfg.train.get("bf16", False) else None)
     eval_model = build_feature_predictor(cfg.model, bn_axis_name=None)
 
     if cfg.dataset.get("synthetic", False):

@@ -97,6 +97,37 @@ def test_sparse_conv_backward_exact_vs_autodiff(rng):
                                    atol=1e-4, rtol=1e-4, err_msg=name)
 
 
+def test_bf16_compute_train_step(rng):
+    """compute_dtype='bfloat16' (the reference's AMP equivalent) must keep
+    f32 outputs/params, finite grads, and eval (train=False) bit-identical
+    to the f32 model."""
+    scene = random_scene(rng, 256, sh_degree=1, n_valid=200)
+    kw = dict(backbone_type="PT", sh_degree=1, grid_resolution=64,
+              res_feature_activation={"means": "tanh"},
+              backbone_kwargs=TINY_PTV3)
+    m32 = FeaturePredictor(**kw)
+    m16 = FeaturePredictor(compute_dtype="bfloat16", **kw)
+    v = m32.init(jax.random.key(0), scene, False)
+
+    out32, _ = m32.apply(v, scene, False)
+    out16, _ = m16.apply(v, scene, False)  # eval path ignores compute_dtype
+    np.testing.assert_array_equal(np.asarray(out16.means),
+                                  np.asarray(out32.means))
+
+    def loss(params):
+        (ref, _), _ = m16.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, scene, True,
+            rngs={"droppath": jax.random.key(1), "orders": jax.random.key(2)},
+            mutable=["batch_stats"])
+        return jnp.mean(jnp.abs(ref.means)) + jnp.mean(jnp.abs(ref.scales))
+
+    l, g = jax.value_and_grad(loss)(v["params"])
+    assert np.isfinite(float(l))
+    leaves = jax.tree.leaves(g)
+    assert all(x.dtype == jnp.float32 for x in leaves)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
 def test_ptv3_forward_shapes_and_mask_invariance(rng):
     coord, feat, mask = make_inputs(rng)
     pb = make_point_batch(coord, feat, mask, grid_resolution=64)

@@ -48,7 +48,12 @@ def main():
 
     state, metrics = step(state, batch, jax.random.key(1))
     jax.block_until_ready(metrics)
-    print("warm step done", flush=True)
+    # absorb the second compile that fires on the first donated-device-array
+    # call (see bench_train.py)
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.key(50 + i))
+        _ = float(metrics["total_loss"])
+    print("warm steps done", flush=True)
 
     jax.profiler.start_trace(TRACE_DIR)
     for i in range(2):
