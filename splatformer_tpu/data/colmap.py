@@ -262,6 +262,50 @@ def write_images_text(images: Dict[int, ColmapImage], path):
             f.write(pts + "\n")
 
 
+def write_points3D_binary(points3D: Dict[int, ColmapPoint3D], path):
+    """Binary points3D writer (reference colmap_utils.py:383-411 parity)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(points3D)))
+        for pt in points3D.values():
+            f.write(struct.pack("<Q", pt.id))
+            f.write(struct.pack("<3d", *np.asarray(pt.xyz, np.float64)))
+            f.write(struct.pack("<3B", *np.asarray(pt.rgb, np.uint8)))
+            f.write(struct.pack("<d", float(pt.error)))
+            f.write(struct.pack("<Q", len(pt.image_ids)))
+            for img_id, p2d in zip(pt.image_ids, pt.point2D_idxs):
+                f.write(struct.pack("<ii", int(img_id), int(p2d)))
+
+
+def write_points3D_text(points3D: Dict[int, ColmapPoint3D], path):
+    """Text points3D writer (reference colmap_utils.py:356-380 parity)."""
+    with open(path, "w") as f:
+        f.write("# 3D point list with one line of data per point:\n"
+                "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+                "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n")
+        for pt in points3D.values():
+            xyz = " ".join(repr(float(x)) for x in pt.xyz)
+            rgb = " ".join(str(int(c)) for c in pt.rgb)
+            track = " ".join(f"{int(i)} {int(p)}" for i, p in
+                             zip(pt.image_ids, pt.point2D_idxs))
+            f.write(f"{pt.id} {xyz} {rgb} {repr(float(pt.error))} {track}\n")
+
+
+def write_model(cameras: Dict[int, ColmapCamera],
+                images: Dict[int, ColmapImage],
+                points3D: Dict[int, ColmapPoint3D], path, ext: str = ".bin"):
+    """Write a full sparse model dir (reference colmap_utils.py:436-446)."""
+    path = Path(path)
+    os.makedirs(path, exist_ok=True)
+    writers = {
+        ".bin": (write_cameras_binary, write_images_binary,
+                 write_points3D_binary),
+        ".txt": (write_cameras_text, write_images_text, write_points3D_text),
+    }[ext]
+    writers[0](cameras, path / f"cameras{ext}")
+    writers[1](images, path / f"images{ext}")
+    writers[2](points3D, path / f"points3D{ext}")
+
+
 def read_model(path, ext: str = ""):
     path = Path(path)
     if not ext:

@@ -161,7 +161,39 @@ def make_fit_step(cfg: FitConfig, tx: optax.GradientTransformation,
 
     sh_band_mask (sh_rest,) gates higher SH bands (progressive unlock);
     passed as data so the schedule does not recompile."""
+    return jax.jit(_make_step_body(cfg, rcfg, tx), donate_argnums=(0,))
 
+
+def make_fit_chunk(cfg: FitConfig, tx: optax.GradientTransformation,
+                   rcfg: RasterizeConfig):
+    """lax.scan over ``chunk`` fitting steps in ONE device program.
+
+    Host-side per-step dispatch through the remote TPU tunnel costs more
+    than the step itself at benchmark scale (small scenes, 128^2 views), so
+    the per-step loop moves on-device: view index and SH band mask become
+    per-step data, cameras are gathered by index inside the scan.
+    """
+    step_body = _make_step_body(cfg, rcfg, tx)
+
+    def run(state: FitState, cameras: Camera, images: jnp.ndarray,
+            background: jnp.ndarray, view_idx: jnp.ndarray,
+            band: jnp.ndarray) -> Tuple[FitState, Dict[str, jnp.ndarray]]:
+        def body(st, per_step):
+            i, b = per_step
+            cam = Camera(c2w=cameras.c2w[i], fx=cameras.fx[i],
+                         fy=cameras.fy[i], cx=cameras.cx[i],
+                         cy=cameras.cy[i], width=cameras.width,
+                         height=cameras.height)
+            st, m = step_body(st, cam, images[i], background, b)
+            return st, m
+        state, metrics = jax.lax.scan(body, state, (view_idx, band))
+        return state, jax.tree.map(lambda a: a[-1], metrics)
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def _make_step_body(cfg: FitConfig, rcfg: RasterizeConfig,
+                    tx: optax.GradientTransformation):
     def step(state: FitState, camera: Camera, image: jnp.ndarray,
              background: jnp.ndarray, sh_band_mask: jnp.ndarray
              ) -> Tuple[FitState, Dict[str, jnp.ndarray]]:
@@ -179,7 +211,6 @@ def make_fit_step(cfg: FitConfig, tx: optax.GradientTransformation,
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        # densification statistics: focal-scaled mean-gradient norm
         gnorm = jnp.linalg.norm(grads["means"], axis=-1) * camera.fx
         seen = gnorm > 0
         state = FitState(
@@ -188,7 +219,7 @@ def make_fit_step(cfg: FitConfig, tx: optax.GradientTransformation,
             grad_count=state.grad_count + seen.astype(jnp.float32))
         return state, {"loss": loss, "l1": l1, "ssim": s}
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
 
 
 def _quat_rotate(quats: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -308,25 +339,44 @@ def fit_gaussians(images: jnp.ndarray, cameras: Camera,
                   else jnp.asarray(background))
     tx = build_fit_optimizer(cfg)
     state = init_state(cfg, tx, points=points, colors=colors, seed=seed)
-    step_fn = make_fit_step(cfg, tx, rcfg)
     densify_fn = make_densify(cfg, tx)
     key = jax.random.key(seed)
     rng = np.random.default_rng(seed)
     densify_stop = cfg.densify_stop or cfg.steps // 2
     sh_rest = (cfg.sh_degree + 1) ** 2 - 1
+    images = jnp.asarray(images)
 
-    metrics = {}
+    # per-step data precomputed on the host: sampled view index + SH band
+    # mask (degree d unlocked at step >= d * interval)
+    view_idx = np.asarray([int(rng.integers(v)) for _ in range(cfg.steps)],
+                          np.int32)
+    band = np.zeros((cfg.steps, sh_rest), np.float32)
     for step in range(cfg.steps):
-        # progressive SH unlock: degree d at step >= d * interval
         deg = min(step // max(cfg.sh_degree_interval, 1), cfg.sh_degree)
-        band = np.zeros((sh_rest,), np.float32)
-        band[: (deg + 1) ** 2 - 1] = 1.0
-        i = int(rng.integers(v))
-        cam = Camera(c2w=cameras.c2w[i], fx=cameras.fx[i], fy=cameras.fy[i],
-                     cx=cameras.cx[i], cy=cameras.cy[i],
-                     width=width, height=height)
-        state, metrics = step_fn(state, cam, images[i], background,
-                                 jnp.asarray(band))
+        band[step, : (deg + 1) ** 2 - 1] = 1.0
+
+    # the per-step host loop runs on-device via lax.scan; the scan is cut at
+    # every densify / opacity-reset boundary (host-side events)
+    events = {cfg.steps}
+    for step in range(cfg.steps):
+        if (cfg.warmup_steps <= step < densify_stop
+                and (step + 1) % cfg.densify_every == 0):
+            events.add(step + 1)
+        if cfg.reset_opacity_every and (step + 1) % cfg.reset_opacity_every \
+                == 0 and step + 1 < densify_stop:
+            events.add(step + 1)
+    boundaries = sorted(events)
+
+    chunk_fn = make_fit_chunk(cfg, tx, rcfg)
+    metrics = {}
+    start = 0
+    for end in boundaries:
+        if end > start:
+            state, metrics = chunk_fn(
+                state, cameras, images, background,
+                jnp.asarray(view_idx[start:end]),
+                jnp.asarray(band[start:end]))
+        step = end - 1
         if (cfg.warmup_steps <= step < densify_stop
                 and (step + 1) % cfg.densify_every == 0):
             key, sub = jax.random.split(key)
@@ -334,10 +384,11 @@ def fit_gaussians(images: jnp.ndarray, cameras: Camera,
         if cfg.reset_opacity_every and (step + 1) % cfg.reset_opacity_every \
                 == 0 and step + 1 < densify_stop:
             state = reset_opacities(state)
-        if log_every and (step + 1) % log_every == 0:
+        if log_every and metrics:
             m = {k: float(x) for k, x in metrics.items()}
             m["n_gauss"] = int(jnp.sum(state.mask))
-            print(f"fit step {step + 1}: {m}", flush=True)
+            print(f"fit step {end}: {m}", flush=True)
+        start = end
 
     scene = _scene(state.params, state.mask)
     out = {k: float(x) for k, x in metrics.items()}
