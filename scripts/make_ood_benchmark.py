@@ -149,7 +149,11 @@ def main():
             print(f"[skip] {split}/{name} exists", flush=True)
             continue
         gt = make_gt_scene(seed, n_gauss=args.n_gauss)
-        cams_in = ring_cameras([-5.0, 8.0, 22.0], args.n_az_in,
+        # input rings stay low (max 15 deg): object tops are genuinely
+        # unseen, so the fitted 3DGS develops the OOD artifacts the refiner
+        # is trained to repair (reference protocol: inputs low-elevation,
+        # OOD test at 70/80/90 — dataset/GS.py:222-238)
+        cams_in = ring_cameras([-5.0, 5.0, 15.0], args.n_az_in,
                                args.hw, args.hw, az_jitter=0.15, seed=seed)
         cams_ood = ring_cameras([70.0, 80.0, 90.0], 3, args.hw, args.hw,
                                 az_jitter=0.3, seed=seed + 1)
@@ -175,15 +179,12 @@ def main():
                "wall_s": round(time.time() - t0, 1)}
         summary.append(row)
         print(json.dumps(row), flush=True)
+        # append incrementally so interrupted runs keep their records
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "generation_summary.jsonl"),
+                  "a") as f:
+            f.write(json.dumps(row) + "\n")
 
-    os.makedirs(args.out, exist_ok=True)
-    spath = os.path.join(args.out, "generation_summary.json")
-    existing = []
-    if os.path.exists(spath):
-        with open(spath) as f:
-            existing = json.load(f)
-    with open(spath, "w") as f:
-        json.dump(existing + summary, f, indent=1)
     print(f"wrote {len(summary)} scenes to {args.out}")
 
 

@@ -1,0 +1,39 @@
+"""OOD refinement benchmark dataset — framework-generated scenes
+(scripts/make_ood_benchmark.py): procedural GT, input 3DGS fitted from
+low-elevation rings only, OOD test views at elevation 70/80/90.
+
+Mirrors the objaverse config shape (/root/reference/configs/dataset/
+objaverse.gin) at benchmark scale: poses from COLMAP (test views are the
+images named test_*, GS.py:292-298 semantics), 70% of sampled train views
+drawn from the OOD split — the SplatFormer supervision signal."""
+from ml_collections import ConfigDict
+
+
+def get_config() -> ConfigDict:
+    cfg = ConfigDict()
+    cfg.remove_outlier_ndevs = -1.0
+    cfg.max_gs_num = 16384
+    cfg.pad_to = 16384
+    cfg.load_pose_src = "colmap"
+    cfg.batch_size = 1
+    cfg.accumulate_step = 1
+    cfg.num_workers = 0
+
+    cfg.train = ConfigDict()
+    cfg.train.nerfstudio_folder = "data/oodbench/train/nerfstudio"
+    cfg.train.colmap_folder = "data/oodbench/train/colmap"
+    cfg.train.image_per_scene = 4
+    cfg.train.sample_ratio_test = 0.7
+    cfg.train.cache_steps = 4
+    cfg.train.cache_num_scenes = 4
+    cfg.train.split_across_processes = True
+    cfg.train.background_color = (0, 0, 0)
+
+    cfg.test = ConfigDict(type_safe=False)
+    cfg.test.folders = {
+        "oodbench": ("data/oodbench/test/nerfstudio",
+                     "data/oodbench/test/colmap"),
+    }
+    cfg.test.background_color = (0, 0, 0)
+    cfg.test.split_across_processes = False
+    return cfg

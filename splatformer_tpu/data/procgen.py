@@ -122,16 +122,19 @@ def _texture(rng: np.random.Generator, pts: np.ndarray) -> np.ndarray:
     c1 = rng.uniform(0.1, 0.95, 3)
     if kind == 0:  # solid + speckle
         rgb = c0[None] + rng.normal(0, 0.03, pts.shape)
-    elif kind == 1:  # axis gradient
+    elif kind == 1:  # axis gradient + stripe modulation
         ax = rng.integers(0, 3)
         t = (pts[:, ax] - pts[:, ax].min()) / (np.ptp(pts[:, ax]) + 1e-9)
         rgb = c0[None] * (1 - t[:, None]) + c1[None] * t[:, None]
-    elif kind == 2:  # checker
-        freq = rng.uniform(1.5, 4.0)
+        freq = rng.uniform(4.0, 10.0)
+        rgb *= (0.75 + 0.25 * (np.sin(t * freq * math.pi) > 0))[:, None]
+    elif kind == 2:  # checker (high frequency: unseen regions cannot be
+        # texture-interpolated by the fit, widening the OOD gap)
+        freq = rng.uniform(3.0, 10.0)
         cells = np.floor(pts * freq).astype(np.int64).sum(1) % 2
         rgb = np.where(cells[:, None] == 0, c0[None], c1[None])
     else:  # stripes
-        freq = rng.uniform(2.0, 6.0)
+        freq = rng.uniform(4.0, 14.0)
         d = rng.normal(size=3)
         d /= np.linalg.norm(d)
         s = (np.sin(pts @ d * freq * math.pi) > 0)
@@ -179,19 +182,38 @@ def make_gt_scene(seed: int, n_gauss: int = 32768, sh_degree: int = 1,
     counts[-1] = n_gauss - counts[:-1].sum()
 
     means, quats, log_scales, rgbs = [], [], [], []
+    # with p=0.6 the last primitive is a thin horizontal "canopy" ABOVE the
+    # cluster: its underside is visible from the input rings but its top is
+    # only seen by the OOD cameras — manufacturing exactly the unseen-top
+    # artifact class the reference's OOD protocol targets
+    # (/root/reference/dataset/GS.py:222-238)
+    has_canopy = bool(rng.uniform() < 0.6)
     for p in range(n_prim):
         n = int(counts[p])
-        kind = PRIMITIVES[rng.integers(0, len(PRIMITIVES))]
+        canopy = has_canopy and p == n_prim - 1
+        kind = ("box" if canopy
+                else PRIMITIVES[rng.integers(0, len(PRIMITIVES))])
         pts, nrm, area = _unit_surface(rng, kind, n)
         rgb = _texture(rng, pts)
 
         # anisotropic world placement: per-axis scale, rotation, offset
-        ax_scale = rng.uniform(0.05, 0.16, 3) * rng.uniform(0.7, 1.3)
-        rot = _rot_matrix(rng)
-        # objects cluster around the cube center, slightly below middle so
-        # low-elevation cameras see the sides but not the tops
-        center = np.array([rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.7),
-                           rng.uniform(0.35, 0.6)])
+        if canopy:
+            ax_scale = np.array([rng.uniform(0.18, 0.32),
+                                 rng.uniform(0.18, 0.32),
+                                 rng.uniform(0.008, 0.02)])
+            yaw = rng.uniform(0, 2 * math.pi)
+            cy_, sy_ = math.cos(yaw), math.sin(yaw)
+            rot = np.array([[cy_, -sy_, 0.0], [sy_, cy_, 0.0],
+                            [0.0, 0.0, 1.0]])
+            center = np.array([rng.uniform(0.4, 0.6), rng.uniform(0.4, 0.6),
+                               rng.uniform(0.62, 0.75)])
+        else:
+            ax_scale = rng.uniform(0.05, 0.16, 3) * rng.uniform(0.7, 1.3)
+            rot = _rot_matrix(rng)
+            # objects cluster around the cube center, slightly below middle
+            # so low-elevation cameras see the sides but not the tops
+            center = np.array([rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.7),
+                               rng.uniform(0.35, 0.6)])
         world = (pts * ax_scale) @ rot.T + center
         # normals transform by rot * inv(scale); renormalize
         wn = (nrm / ax_scale) @ rot.T

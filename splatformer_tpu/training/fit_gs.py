@@ -356,8 +356,11 @@ def fit_gaussians(images: jnp.ndarray, cameras: Camera,
         band[step, : (deg + 1) ** 2 - 1] = 1.0
 
     # the per-step host loop runs on-device via lax.scan; the scan is cut at
-    # every densify / opacity-reset boundary (host-side events)
-    events = {cfg.steps}
+    # every densify / opacity-reset boundary (host-side events), plus a
+    # uniform 100-step grid so nearly every chunk shares ONE compiled length
+    # (remote TPU compiles cost minutes; scan compile cost is
+    # length-independent but each distinct length is its own program)
+    events = {cfg.steps} | set(range(100, cfg.steps, 100))
     for step in range(cfg.steps):
         if (cfg.warmup_steps <= step < densify_stop
                 and (step + 1) % cfg.densify_every == 0):
