@@ -35,16 +35,19 @@ def _round_up(x: int, m: int) -> int:
 
 def read_image(path: str, background: np.ndarray) -> np.ndarray:
     """RGBA -> composited RGB; real-dataset masks kept as 4th channel
-    (GS.py:128-151)."""
-    from PIL import Image
-    image = np.asarray(Image.open(path), np.uint8).astype(np.float32) / 255.0
+    (GS.py:128-151). Decoding goes through the native IO runtime
+    (native/io.cc) with a PIL fallback; compositing stays in numpy."""
+    from splatformer_tpu.data import native_io
+    image = native_io.decode_image(path)
     mask = None
     if "real" in path.lower():
         mask_path = path.replace("images", "masks")
         if os.path.exists(mask_path):
-            mask = np.asarray(Image.open(mask_path)).astype(np.float32) / 255.0
-    if image.ndim == 2:
-        image = np.repeat(image[..., None], 3, axis=-1)
+            mask = native_io.decode_image(mask_path)
+            if mask.ndim == 3:
+                mask = mask[..., 0]
+    if image.ndim == 2 or image.shape[2] == 1:
+        image = np.repeat(image.reshape(image.shape[:2] + (1,)), 3, axis=-1)
     if image.shape[2] == 4:
         image = (image[:, :, :3] * image[:, :, 3:]
                  + background * (1.0 - image[:, :, 3:]))
@@ -52,6 +55,30 @@ def read_image(path: str, background: np.ndarray) -> np.ndarray:
         rgb = image[:, :, :3] * mask[..., None] + background * (1.0 - mask[..., None])
         image = np.concatenate([rgb, mask[..., None]], axis=-1)
     return image
+
+
+def read_images(paths: Sequence[str], background: np.ndarray
+                ) -> List[np.ndarray]:
+    """Batch decode (threaded native path when available) + composite.
+
+    The mask-equipped real-dataset layout falls back to the per-image
+    reader; everything else decodes concurrently in one native call —
+    this replaces the reference's per-view PIL loop in the training hot
+    path (GS.py:128-151, 360-382)."""
+    from splatformer_tpu.data import native_io
+    if (len(paths) < 2 or not native_io.available()
+            or "real" in paths[0].lower()):
+        return [read_image(p, background) for p in paths]
+    try:
+        batch = native_io.decode_batch(list(paths))
+    except IOError:
+        return [read_image(p, background) for p in paths]
+    if batch.shape[-1] == 1:
+        batch = np.repeat(batch, 3, axis=-1)
+    if batch.shape[-1] == 4:
+        batch = (batch[..., :3] * batch[..., 3:]
+                 + background * (1.0 - batch[..., 3:]))
+    return list(batch)
 
 
 def pad_gaussians(gs: Dict[str, np.ndarray], pad_to: int
@@ -201,19 +228,17 @@ class SplatfactoScenes:
         n_s_test = min(int(sample_test.sum()), n_test)
         n_s_train = min(v - n_s_test, n_train)
         background = self._background(rng)
-        images, c2ws, names = [], [], []
+        paths, c2ws = [], []
         if n_s_train > 0:
             ids = rng.permutation(n_train)[:n_s_train]
-            for i in ids:
-                images.append(read_image(scene["train_imgs_path"][i], background))
-                names.append(os.path.basename(scene["train_imgs_path"][i]))
+            paths += [scene["train_imgs_path"][i] for i in ids]
             c2ws.append(meta["train_camera_to_worlds"][ids])
         if n_s_test > 0:
             ids = rng.permutation(n_test)[:n_s_test]
-            for i in ids:
-                images.append(read_image(scene["test_imgs_path"][i], background))
-                names.append(os.path.basename(scene["test_imgs_path"][i]))
+            paths += [scene["test_imgs_path"][i] for i in ids]
             c2ws.append(meta["test_camera_to_worlds"][ids])
+        images = read_images(paths, background)
+        names = [os.path.basename(p) for p in paths]
         # top up to exactly v views if pools were short (static shapes)
         c2w = np.concatenate(c2ws, axis=0)
         while len(images) < v:
@@ -237,8 +262,7 @@ class SplatfactoScenes:
         for idx in self.scene_ids:
             scene = self.load_scene(idx)
             meta = scene["meta"]
-            images = [read_image(p, background)
-                      for p in scene["test_imgs_path"]]
+            images = read_images(scene["test_imgs_path"], background)
             gs, mask = pad_gaussians(scene["gs_params"], self.pad_to)
             yield {
                 "gs_params": gs, "gs_mask": mask,

@@ -26,10 +26,15 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.01
     eps: float = 1e-3
     axis_name: Optional[str] = None
+    # turn_off_bn escape hatch (/root/reference/models/pointtransformer_v3.py:
+    # 249-251: bn_layer = nn.Identity) — no params, no statistics
+    off: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
                  train: bool) -> jnp.ndarray:
+        if self.off:
+            return x
         c = x.shape[-1]
         in_dtype = x.dtype
         x = x.astype(jnp.float32)  # statistics always in f32 (bf16 compute)

@@ -51,6 +51,10 @@ class SerializedAttention(nn.Module):
     qk_scale: Optional[float] = None
     additional_info: Optional[Dict[str, Any]] = None
     dtype: Optional[jnp.dtype] = None
+    # flash-attention control (reference enable_flash,
+    # models/pointtransformer_v3.py:121-126): None = auto (TPU backend and
+    # patch >= 256), True = force the Pallas kernel, False = einsum always
+    use_flash: Optional[bool] = None
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, pb: PointBatch,
@@ -77,21 +81,31 @@ class SerializedAttention(nn.Module):
         merge_r = float(info.get("r", 0.0) or 0.0)
         size_bias = None
         unmerge = None
-        if merge_mode not in ("base", None, "none") and merge_r > 0.0:
+        # tome_attention (reference configs/model/*.gin): merging applies
+        # inside the attention module; when False the attention runs on the
+        # full K tokens (merging then only affects the MLP via tome_mlp)
+        if (merge_mode not in ("base", None, "none") and merge_r > 0.0
+                and info.get("tome_attention", True)):
             from splatformer_tpu.ops import merging
             q, kk, v, size, unmerge = merging.process_merging(
                 merge_mode, q, kk, v, info,
                 rng=self.make_rng("merging") if train and merging.needs_rng(
                     merge_mode, info) else None)
-            size_bias = jnp.log(size)  # proportional attention
+            # proportional attention over the KEY axis (ToMe eq. 2,
+            # visualize.py:170-174): keys representing s merged tokens get
+            # +log(s); size 0 (ALGM dead slots) masks the key out entirely
+            size_bias = jnp.log(jnp.maximum(size[..., 0], 1e-30))[..., None, :]
 
         # Flash path (reference enable_flash: varlen flash-attn at patch 1024,
         # models/pointtransformer_v3.py:121-126): fixed-size patches make this
         # a plain batched attention, served by the bundled Pallas TPU flash
         # kernel. Proportional attention (merging size bias) needs the
         # explicit logits, so it uses the einsum path at the reduced K'.
-        use_flash = (size_bias is None and q.shape[-2] >= 256
-                     and jax.default_backend() == "tpu")
+        if self.use_flash is None:
+            use_flash = (size_bias is None and q.shape[-2] >= 256
+                         and jax.default_backend() == "tpu")
+        else:
+            use_flash = self.use_flash and size_bias is None
         if use_flash:
             from jax.experimental.pallas.ops.tpu import flash_attention as fa
             d = q.shape[-1]
@@ -117,9 +131,16 @@ class SerializedAttention(nn.Module):
             out = unmerge(out)  # back to (B, H, K, ch)
         out = out.transpose(0, 2, 1, 3).reshape(n, c)
         out = out[inverse]
-        # per-block attention features for the visualizer (collected only
-        # when apply(..., mutable=['intermediates']) requests them)
+        # per-block attention features + replay inputs for the visualizer
+        # (collected only when apply(..., mutable=['intermediates']) requests
+        # them — zero cost in training/eval). attn_in/order/inverse let
+        # utils/attn_replay.py re-execute this attention per head with and
+        # without merging (reference hook, visualize.py:137-247).
         self.sow("intermediates", "attn_feat", out)
+        self.sow("intermediates", "attn_in", feat)
+        self.sow("intermediates", "attn_order", order)
+        self.sow("intermediates", "attn_inverse", inverse)
+        self.sow("intermediates", "attn_coord", pb.coord)
         out = nn.Dense(c, name="proj", dtype=self.dtype)(out)
         return out
 
@@ -137,8 +158,10 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     bn_axis_name: Optional[str] = None
+    turn_off_bn: bool = False
     additional_info: Optional[Dict[str, Any]] = None
     dtype: Optional[jnp.dtype] = None
+    use_flash: Optional[bool] = None
 
     @nn.compact
     def __call__(self, pb: PointBatch, nbr: jnp.ndarray,
@@ -161,8 +184,8 @@ class Block(nn.Module):
                                               b.astype(feat.dtype)),
                             "cpe_conv_out")
         h = nn.Dense(c, name="cpe_linear", dtype=dt)(h)
-        h = MaskedBatchNorm(axis_name=self.bn_axis_name, name="cpe_norm")(
-            h, pb.mask, train)
+        h = MaskedBatchNorm(axis_name=self.bn_axis_name, off=self.turn_off_bn,
+                            name="cpe_norm")(h, pb.mask, train)
         feat = feat + h
 
         shortcut = feat
@@ -173,7 +196,7 @@ class Block(nn.Module):
             channels=c, num_heads=self.num_heads, patch_size=self.patch_size,
             order_index=self.order_index, qkv_bias=self.qkv_bias,
             additional_info=self.additional_info, name="attn",
-            dtype=dt,
+            dtype=dt, use_flash=self.use_flash,
         )(h, pb.replace(feat=h), train)
         h = checkpoint_name(h, "attn_out")
         h = DropPath(self.drop_path)(h, train)
@@ -224,6 +247,7 @@ class SerializedPooling(nn.Module):
     stride: int
     child_capacity: int
     bn_axis_name: Optional[str] = None
+    turn_off_bn: bool = False
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool
@@ -269,8 +293,9 @@ class SerializedPooling(nn.Module):
             lambda op: jnp.zeros((m,), jnp.int32).at[op].set(
                 jnp.arange(m, dtype=jnp.int32)))(child_order)
 
-        child_feat = MaskedBatchNorm(axis_name=self.bn_axis_name, name="norm")(
-            child_feat, child_mask, train)
+        child_feat = MaskedBatchNorm(
+            axis_name=self.bn_axis_name, off=self.turn_off_bn,
+            name="norm")(child_feat, child_mask, train)
         child_feat = nn.gelu(child_feat)
 
         child = PointBatch(
@@ -286,16 +311,18 @@ class SerializedUnpooling(nn.Module):
 
     out_channels: int
     bn_axis_name: Optional[str] = None
+    turn_off_bn: bool = False
 
     @nn.compact
     def __call__(self, child: PointBatch, parent: PointBatch,
                  cluster: jnp.ndarray, train: bool) -> PointBatch:
         h = nn.Dense(self.out_channels, name="proj")(child.feat)
-        h = MaskedBatchNorm(axis_name=self.bn_axis_name, name="proj_norm")(
-            h, child.mask, train)
+        h = MaskedBatchNorm(axis_name=self.bn_axis_name, off=self.turn_off_bn,
+                            name="proj_norm")(h, child.mask, train)
         h = nn.gelu(h)
         skip = nn.Dense(self.out_channels, name="proj_skip")(parent.feat)
         skip = MaskedBatchNorm(axis_name=self.bn_axis_name,
+                               off=self.turn_off_bn,
                                name="proj_skip_norm")(skip, parent.mask, train)
         skip = nn.gelu(skip)
         # waste-bucket / dropped clusters contribute zero
@@ -336,6 +363,11 @@ class PointTransformerV3(nn.Module):
     # static capacity of each pooled stage relative to its parent stage
     pool_capacity_factors: Sequence[float] = (1.0, 0.75, 0.625, 0.5)
     bn_axis_name: Optional[str] = None
+    # replace every BatchNorm with identity (reference escape hatch,
+    # models/pointtransformer_v3.py:249-251)
+    turn_off_bn: bool = False
+    # flash-attention control threaded to every block (None = auto on TPU)
+    use_flash: Optional[bool] = None
     additional_info: Optional[Dict[str, Any]] = None
     # rematerialize each Block on the backward pass: within-block attention
     # temps (notably the (B, H, K, ch) qkv layouts, which TPU tiling pads
@@ -372,8 +404,8 @@ class PointTransformerV3(nn.Module):
 
         # embedding (MLP type: Linear -> BN -> GELU)
         h = nn.Dense(self.enc_channels[0], name="embed_linear")(pb.feat)
-        h = MaskedBatchNorm(axis_name=self.bn_axis_name, name="embed_norm")(
-            h, pb.mask, train)
+        h = MaskedBatchNorm(axis_name=self.bn_axis_name, off=self.turn_off_bn,
+                            name="embed_norm")(h, pb.mask, train)
         h = nn.gelu(h)
         pb = pb.replace(feat=h)
 
@@ -394,6 +426,7 @@ class PointTransformerV3(nn.Module):
                 pb_child, cluster = SerializedPooling(
                     out_channels=self.enc_channels[s], stride=self.stride[s - 1],
                     child_capacity=child_cap, bn_axis_name=self.bn_axis_name,
+                    turn_off_bn=self.turn_off_bn,
                     name=f"enc{s}_down")(pb, train)
                 clusters.append(cluster)
                 skips.append(pb)
@@ -410,8 +443,9 @@ class PointTransformerV3(nn.Module):
                     drop_path=dp_slice[i],
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     bn_axis_name=self.bn_axis_name,
+                    turn_off_bn=self.turn_off_bn,
                     additional_info=self.additional_info,
-                    dtype=cdtype,
+                    dtype=cdtype, use_flash=self.use_flash,
                     name=f"enc{s}_block{i}")(pb, nbr, train)
             diagnostics[f"enc{s}_n_valid"] = pb.n_valid
 
@@ -423,6 +457,7 @@ class PointTransformerV3(nn.Module):
             cluster = clusters[s]
             pb = SerializedUnpooling(
                 out_channels=dec_channels[s], bn_axis_name=self.bn_axis_name,
+                turn_off_bn=self.turn_off_bn,
                 name=f"dec{s}_up")(pb, parent, cluster, train)
             # the unpooled point set IS the encoder stage-s point set — reuse
             # its conv structure instead of rebuilding (the sort-join is the
@@ -439,8 +474,9 @@ class PointTransformerV3(nn.Module):
                     drop_path=dp_slice[i],
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     bn_axis_name=self.bn_axis_name,
+                    turn_off_bn=self.turn_off_bn,
                     additional_info=self.additional_info,
-                    dtype=cdtype,
+                    dtype=cdtype, use_flash=self.use_flash,
                     name=f"dec{s}_block{i}")(pb, nbr, train)
             intermediates[f"dec{s}"] = {
                 "feat": pb.feat, "code": pb.codes[0], "n_valid": pb.n_valid}

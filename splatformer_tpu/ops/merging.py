@@ -251,48 +251,73 @@ def _pitome(metric: jnp.ndarray, r_count: int, margin: float, alpha: float):
 # ---------------------------------------------------------------------------
 
 def _algm(metric: jnp.ndarray, r_count: int, threshold: float):
-    """Merge adjacent serialized tokens whose cosine similarity exceeds the
-    threshold, capped at r_count merges (static shapes demand a cap; pairs
-    below the threshold get a -inf score and survive via the cap ordering,
-    falling back to keeping tokens when fewer than r_count pairs qualify).
+    """Merge adjacent serialized token pairs whose cosine similarity exceeds
+    ``threshold`` (ALGM's local-merging criterion), capped at ``r_count``
+    merges (the reference's ``r`` knob; 0 means uncapped).
+
+    TPU-static formulation: the number of qualifying pairs is data-dependent,
+    so instead of compacting to a dynamic K' this keeps K' = K and *masks*
+    merged-away odd slots with ``size = 0`` — proportional attention
+    (``attn + log(size)``) then removes them from every softmax exactly, and
+    ``unmerge`` restores them from their pair head. Quality semantics match
+    the dynamic-shape original; attention FLOPs stay at K (the static-shape
+    price; effective tokens = ``sum(size > 0)``).
     """
     b, h, k, c = metric.shape
-    kn = _normalize(metric)
-    adj = jnp.sum(kn[..., 0::2, :] * kn[..., 1::2, :], axis=-1)  # (B,H,K/2)
-    gated = jnp.where(adj >= threshold, adj, -jnp.inf)
-
-    merge_b, unmerge_b, size_b = _bipartite(metric, r_count)
-    # reuse bipartite plumbing but with adjacency-gated scores: tokens whose
-    # gate is -inf still merge only if the cap exceeds qualifying pairs; the
-    # size is recomputed from the gate to keep proportional attention honest.
     half = k // 2
-    rc = min(r_count, half)
-    order = jnp.argsort(-gated, axis=-1)
-    qualifying = jnp.sum((gated > -jnp.inf), axis=-1)  # dynamic, <= half
-    # tokens ranked past `qualifying` merge with similarity -inf — they are
-    # handled by the generic bipartite path which merges the top-rc anyway;
-    # acceptable because threshold=0.9 configs keep rc below qualifying in
-    # practice. Documented approximation.
-    del order, qualifying
-    return merge_b, unmerge_b, size_b
+    kn = _normalize(metric)
+    even, odd = kn[..., 0::2, :], kn[..., 1::2, :]
+    sim = jnp.sum(even * odd, axis=-1)               # (B, H, half)
+    qualifies = sim >= threshold
+    if r_count > 0:
+        rc = min(r_count, half)
+        # cap: only the top-rc qualifying pairs (by similarity) merge
+        gated = jnp.where(qualifies, sim, -jnp.inf)
+        order = jnp.argsort(-gated, axis=-1)
+        rank = jnp.argsort(order, axis=-1)           # rank of each pair
+        qualifies = qualifies & (rank < rc)
+    mf = qualifies.astype(metric.dtype)[..., None]   # (B, H, half, 1)
+
+    size = jnp.zeros((b, h, k, 1), metric.dtype)
+    size = size.at[..., 0::2, :].set(1.0 + mf)
+    size = size.at[..., 1::2, :].set(1.0 - mf)
+
+    def merge(x, weights=None):
+        xe, xo = x[..., 0::2, :], x[..., 1::2, :]
+        mean = 0.5 * (xe + xo)
+        ye = jnp.where(mf > 0, mean, xe)
+        yo = jnp.where(mf > 0, jnp.zeros_like(xo), xo)   # dead slot
+        out = jnp.zeros_like(x)
+        out = out.at[..., 0::2, :].set(ye)
+        out = out.at[..., 1::2, :].set(yo)
+        return out
+
+    def unmerge(y):
+        ye, yo = y[..., 0::2, :], y[..., 1::2, :]
+        out = jnp.zeros_like(y)
+        out = out.at[..., 0::2, :].set(ye)
+        out = out.at[..., 1::2, :].set(jnp.where(mf > 0, ye, yo))
+        return out
+
+    return merge, unmerge, size
 
 
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
-def process_merging(mode: str, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    info: Dict[str, Any], rng: Optional[jax.Array] = None
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                               jnp.ndarray, Callable]:
-    """Returns (q', k', v', size, unmerge). `size` feeds proportional
-    attention; `unmerge` maps (B, H, K', c) back to (B, H, K, c)."""
-    kk = k.shape[-2]
+def build_merge(mode: str, metric: jnp.ndarray, info: Dict[str, Any],
+                rng: Optional[jax.Array] = None
+                ) -> Tuple[Callable, Callable, jnp.ndarray]:
+    """Build (merge, unmerge, size) from a similarity metric (B, H, K, c) —
+    the same partition can then merge q/k/v/coords consistently (the
+    reference hook's `merge(coords)`, visualize.py:163-166)."""
+    kk = metric.shape[-2]
     r = float(info.get("r", 0.0) or 0.0)
     r_count = _merge_count(kk, r)
-    metric = k
     if info.get("single_head_tome"):
-        metric = jnp.mean(k, axis=1, keepdims=True).repeat(k.shape[1], 1)
+        metric = jnp.mean(metric, axis=1, keepdims=True).repeat(
+            metric.shape[1], 1)
 
     if mode in ("tome", "progressive"):
         merge, unmerge, size = _bipartite(metric, r_count, fuse="mean")
@@ -321,4 +346,14 @@ def process_merging(mode: str, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     else:
         raise NotImplementedError(mode)
 
+    return merge, unmerge, size
+
+
+def process_merging(mode: str, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    info: Dict[str, Any], rng: Optional[jax.Array] = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                               jnp.ndarray, Callable]:
+    """Returns (q', k', v', size, unmerge). `size` feeds proportional
+    attention; `unmerge` maps (B, H, K', c) back to (B, H, K, c)."""
+    merge, unmerge, size = build_merge(mode, k, info, rng=rng)
     return merge(q), merge(k), merge(v), size, unmerge

@@ -32,6 +32,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Re-place a (possibly differently-committed) pytree replicated onto
+    `mesh` — needed when eval runs on a 1-device mesh with params committed
+    to the training mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a batch pytree (leading axis = device count) on the data axis."""
     sh = data_sharding(mesh)

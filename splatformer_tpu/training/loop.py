@@ -20,7 +20,8 @@ from splatformer_tpu.data.synthetic import orbit_cameras, random_scene
 from splatformer_tpu.models.feature_predictor import FeaturePredictor
 from splatformer_tpu.models.lpips import load_lpips_params, make_lpips_fn
 from splatformer_tpu.ops.types import RasterizeConfig
-from splatformer_tpu.parallel.mesh import make_mesh, shard_batch
+from splatformer_tpu.parallel.mesh import (make_mesh, replicate_to_mesh,
+                                           shard_batch)
 from splatformer_tpu.training import checkpoints as ckpt_lib
 from splatformer_tpu.training.metrics import MetricComputer
 from splatformer_tpu.training.optim import build_optimizer
@@ -53,6 +54,8 @@ def build_feature_predictor(model_cfg, bn_axis_name=None,
             dec_patch_size=(patch,) * len(dec_channels),
             stride=tuple(b.stride), mlp_ratio=b.mlp_ratio,
             drop_path=b.drop_path,
+            turn_off_bn=b.get("turn_off_bn", False),
+            use_flash=(True if b.enable_flash else None),
             pool_capacity_factors=tuple(b.pool_capacity_factors))
     else:
         backbone_kwargs = dict(model_cfg.get("sp_backbone", {}))
@@ -186,6 +189,10 @@ def evaluation(model, params, batch_stats, scene_list, mesh,
     # one scene per call on a single-device mesh (scenes are already sharded
     # across processes, GS.py:54-68 semantics); jitted once, reused per scene
     one_mesh = make_mesh(n_devices=1)
+    # params may be committed to the (larger) training mesh — re-place them
+    # on the eval mesh explicitly
+    params = replicate_to_mesh(params, one_mesh)
+    batch_stats = replicate_to_mesh(batch_stats, one_mesh)
     ev = make_eval_step(model, one_mesh, rcfg, render_input=evaluate_input)
     ev_input = (make_eval_step(model, one_mesh, rcfg, render_input=True)
                 if (compare_with_input or save_viewer) else None)
@@ -308,6 +315,19 @@ def run_training(cfg, output_dir: str,
     if ckpt_lib.latest_step(ckpt_dir) is not None:
         state = ckpt_lib.restore_checkpoint(ckpt_dir, state)
         logger.info("restored checkpoint at step %d", int(state.step))
+    elif cfg.model.get("resume_ckpt", ""):
+        # pretrained-backbone partial load (shape-tolerant, reference
+        # models/pointtransformer_v3.py:164-178)
+        params, report = ckpt_lib.load_partial_params(
+            cfg.model.resume_ckpt, state.params, scope="backbone")
+        state = state.replace(params=params)
+        logger.info(
+            "partial backbone load from %s: %d loaded, %d missing, "
+            "%d shape-mismatched (kept fresh init)", cfg.model.resume_ckpt,
+            len(report["loaded"]), len(report["missing"]),
+            len(report["mismatched"]))
+        for path in report["missing"] + report["mismatched"]:
+            logger.info("  not loaded: %s", path)
 
     lpips_params = load_lpips_params(cfg.train.get("lpips_weights_path", ""))
     lpips_w = cfg.train.lpips_loss_weight if lpips_params is not None else 0.0
@@ -340,6 +360,8 @@ def run_training(cfg, output_dir: str,
 
     total = max_steps if max_steps is not None else cfg.train.total_steps
     accum = cfg.dataset.get("accumulate_step", 1)
+    log_image_interval = int(cfg.train.get("log_image_interval", 0))
+    train_img_ev = None
     t0 = time.time()
     batch = first
     history = []
@@ -348,6 +370,22 @@ def run_training(cfg, output_dir: str,
         fn = pretrain_fn if (pretrain_fn is not None
                              and opt_step < pretrain_steps) else step_fn
         state, metrics = fn(state, shard_batch(mesh, batch), rng)
+        if (log_image_interval and step % accum == 0
+                and opt_step % log_image_interval == 0
+                and jax.process_index() == 0):
+            # periodic train-scene render (reference train.py:317-325)
+            if train_img_ev is None:
+                img_mesh = make_mesh(n_devices=1)
+                train_img_ev = make_eval_step(eval_model, img_mesh, rcfg)
+            one = jax.tree.map(lambda a: jnp.asarray(a)[:1], batch)
+            pred, _, _, _ = train_img_ev(
+                replicate_to_mesh(state.params, img_mesh),
+                replicate_to_mesh(state.batch_stats, img_mesh), one)
+            grid = make_grid(list((np.clip(np.asarray(pred[0]), 0, 1) * 255
+                                   ).astype(np.uint8)))
+            save_image(os.path.join(
+                output_dir, "train",
+                f"{opt_step:08d}_pred-rank{jax.process_index()}.png"), grid)
         if (opt_step % cfg.train.log_interval == 0 and step % accum == 0):
             m = {k: float(jnp.asarray(v)) for k, v in metrics.items()}
             m["steps_per_s"] = (step + 1) / (time.time() - t0)
@@ -366,9 +404,11 @@ def run_training(cfg, output_dir: str,
             logger.info("saved checkpoint at step %d", opt_step)
         batch = next(train_iter)
 
-    ckpt_lib.save_checkpoint(ckpt_dir, state, total)
-    with open(os.path.join(output_dir, "history.json"), "w") as f:
-        json.dump(history, f)
+    if ckpt_lib.latest_step(ckpt_dir) != total:
+        ckpt_lib.save_checkpoint(ckpt_dir, state, total)
+    if history or not os.path.exists(os.path.join(output_dir, "history.json")):
+        with open(os.path.join(output_dir, "history.json"), "w") as f:
+            json.dump(history, f)
     return state, model, eval_model, test_factories, rcfg, lpips_fn
 
 

@@ -173,6 +173,39 @@ def main():
         check_robust(f"grad {k}", g_p[k], g_j[k],
                      p999_frac=3e-3, mean_frac=3e-4)
 
+    # ---- part 3: flash attention vs einsum on the chip (reference
+    # enable_flash path, models/pointtransformer_v3.py:121-126). Compiled
+    # Mosaic kernel + the head-dim pad to 128, value AND gradient parity.
+    from splatformer_tpu.models.point import make_point_batch
+    from splatformer_tpu.models.ptv3 import SerializedAttention
+    print("part 3: flash attention vs einsum (compiled, patch 1024):")
+    rng = np.random.default_rng(7)
+    n, c, heads = 4096, 64, 4  # ch = 16 -> exercises the 128-lane pad
+    coord = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    feat = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+    pb = make_point_batch(coord, feat, jnp.ones(n, bool), grid_resolution=64)
+
+    outs = {}
+    grads = {}
+    for name, uf in (("flash", True), ("einsum", False)):
+        attn = SerializedAttention(channels=c, num_heads=heads,
+                                   patch_size=1024, order_index=0,
+                                   use_flash=uf)
+        var = attn.init(jax.random.key(0), feat, pb, False)
+
+        @jax.jit
+        def fwd(f, var=var, attn=attn):
+            return attn.apply(var, f, pb, False)
+
+        outs[name] = np.asarray(fwd(feat))
+        g = jax.jit(jax.grad(lambda f: jnp.sum(jnp.square(fwd(f)))))(feat)
+        grads[name] = np.asarray(g)
+    # f32 einsum vs the flash kernel's internal precision: robust bounds
+    check_robust("flash fwd", outs["flash"], outs["einsum"],
+                 p999_frac=3e-3, mean_frac=3e-4)
+    check_robust("flash grad", grads["flash"], grads["einsum"],
+                 p999_frac=3e-3, mean_frac=3e-4)
+
     if FAILS:
         print("FAILED:", FAILS)
         sys.exit(1)

@@ -1,11 +1,16 @@
 """Attention visualizer — the TPU equivalent of /root/reference/visualize.py.
 
-For each merging algorithm, runs the backbone twice on the same scene —
-with merging active and with the base (no-merge) attention — captures every
-block's post-attention per-point features (flax 'intermediates' sown by
-SerializedAttention), computes the per-point feature difference
-|merged - base| and a PCA coloring, and exports colored point clouds
-(PLY per block) plus a self-contained three.js HTML viewer.
+For each merging algorithm, REPLAYS each attention block per head with and
+without merging (utils/attn_replay.py — the reference's forward-hook path,
+visualize.py:132-247, including proportional attention `attn + log(size)`),
+then exports colored point clouds:
+
+  * per-head PCA colorings of merged-path and base-path attention features;
+  * per-head |merged - base| difference maps;
+  * merge-group colorings — random color per merged token, either on the
+    merged tokens (trace_back=False, reference default) or traced back to
+    the original points through unmerge + serialized inverse
+    (trace_back=True).
 
 pyviz3d (the reference's exporter) is not available here; the HTML viewer is
 generated directly and loads the PLYs from the same directory.
@@ -54,6 +59,12 @@ def main():
     p.add_argument("--out", default="visualization")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--n_gaussians", type=int, default=4096)
+    p.add_argument("--blocks", nargs="*", default=["enc0_block0"],
+                   help="attention blocks to replay (substring match; "
+                        "empty = all)")
+    p.add_argument("--trace_back", action="store_true",
+                   help="trace merge-group colorings back to the original "
+                        "points (overrides the config knob)")
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -63,53 +74,61 @@ def main():
     from splatformer_tpu.configs import build_full_config
     from splatformer_tpu.data.synthetic import random_scene
     from splatformer_tpu.training.loop import build_feature_predictor
+    from splatformer_tpu.utils.attn_replay import replay_model
 
     os.makedirs(args.out, exist_ok=True)
     scene = random_scene(np.random.default_rng(0), args.n_gaussians,
                          sh_degree=1)
-    coords = np.asarray(scene.means)
 
     items = []
-    base_feats = None
+    base_feats = {}
     for algo in args.algos:
         cfg = build_full_config(args.model, args.dataset, "default")
         cfg.model.additional_info.tome = algo
         cfg.model.additional_info.r = 0.0 if algo == "base" else args.merge_rate
+        if args.trace_back:
+            cfg.model.additional_info.trace_back = True
         model = build_feature_predictor(cfg.model)
         variables = model.init(jax.random.key(0), scene, False)
-        _, state = model.apply(variables, scene, False,
-                               mutable=["intermediates"])
-        inter = jax.tree.map(np.asarray, jax.device_get(
-            state["intermediates"]))
-        # flatten: {backbone: {encX_blockY: {attn: {attn_feat: (vals,)}}}}
-        feats = {}
+        info = dict(cfg.model.additional_info)
+        patch = model.backbone_kwargs["enc_patch_size"][0]
+        replays = replay_model(model, variables, scene,
+                               model.backbone_kwargs, patch,
+                               additional_info=info,
+                               blocks=args.blocks or None)
 
-        def walk(node, prefix=""):
-            for k, v in node.items():
-                if k == "attn_feat":
-                    feats[prefix.rstrip("/")] = v[0]
-                elif isinstance(v, dict):
-                    walk(v, prefix + k + "/")
-
-        walk(inter)
-        # export PCA colors of the first-stage block (full resolution points)
-        for key, f in feats.items():
-            if f.shape[0] != coords.shape[0]:
-                continue  # pooled stages live on fewer points
-            name = f"{algo}_{key.replace('/', '_')}.ply"
-            export_cloud(os.path.join(args.out, name), coords, pca_color(f))
-            items.append(name)
-            if algo == "base":
-                base_feats = base_feats or {}
-                base_feats[key] = f
-            elif base_feats and key in base_feats:
-                diff = np.abs(f - base_feats[key]).sum(axis=1, keepdims=True)
-                d = (diff / (diff.max() + 1e-9) * 255).astype(np.uint8)
-                dc = np.concatenate([d, np.zeros_like(d), 255 - d], axis=1)
-                dname = f"diff_{algo}_{key.replace('/', '_')}.ply"
-                export_cloud(os.path.join(args.out, dname), coords, dc)
-                items.append(dname)
-            break  # first full-resolution block per algo keeps output small
+        for path, rep in replays.items():
+            key = path.replace("/", "_")
+            coords = rep["coord"]
+            n_heads = len(rep["attn_feats"])
+            for hi in range(n_heads):
+                name = f"{algo}_{key}_h{hi}.ply"
+                export_cloud(os.path.join(args.out, name), coords,
+                             pca_color(rep["attn_feats"][hi]))
+                items.append(name)
+                if algo == "base":
+                    base_feats[(key, hi)] = rep["ori_attn_feats"][hi]
+                elif (key, hi) in base_feats:
+                    # per-head |merged - base| difference (red = changed)
+                    diff = np.abs(rep["attn_feats"][hi]
+                                  - base_feats[(key, hi)]).sum(
+                                      axis=1, keepdims=True)
+                    d = (diff / (diff.max() + 1e-9) * 255).astype(np.uint8)
+                    dc = np.concatenate([d, np.zeros_like(d), 255 - d],
+                                        axis=1)
+                    dname = f"diff_{algo}_{key}_h{hi}.ply"
+                    export_cloud(os.path.join(args.out, dname), coords, dc)
+                    items.append(dname)
+                if rep["merged_colors"] is not None:
+                    mc = (np.clip(rep["merged_colors"][hi], 0, 1)
+                          * 255).astype(np.uint8)
+                    mco = rep["merged_coords"][hi]
+                    mname = f"merge_{algo}_{key}_h{hi}.ply"
+                    export_cloud(os.path.join(args.out, mname), mco, mc)
+                    items.append(mname)
+            if rep.get("size") is not None:
+                print(f"{algo} {key}: {rep['n_effective_tokens']}"
+                      f"/{rep['n_tokens']} effective tokens")
 
     with open(os.path.join(args.out, "index.html"), "w") as f:
         f.write(_HTML.format(items="".join(
