@@ -54,14 +54,29 @@ class TileBins(NamedTuple):
 
 
 # tier structure: (slots covered by every Gaussian, then top-K2 / top-K3 by
-# tile count). S3 is min(tiles_per_gauss, num_tiles). Sizing: object-scan
-# scenes with the reference's max_scale clamp measure <= 9 tiles/Gaussian at
-# 256^2 with ~0.25% of Gaussians above 4 (bench scene histogram); K2/K3 give
-# 16x/8x margin over that. Candidates beyond a Gaussian's tier are dropped
-# and counted in num_dropped, so under-sizing is observable, not silent.
+# tile count). S3 is min(tiles_per_gauss, num_tiles). Baseline sizing:
+# object-scan scenes with the reference's max_scale clamp measure <= 9
+# tiles/Gaussian at 256^2 with ~0.25% of Gaussians above 4 (bench scene
+# histogram); K2/K3 give 16x/8x margin over that. At higher resolutions a
+# splat's pixel radius grows linearly, so its tile count grows ~linearly in
+# image area for large splats and stays ~1 for sub-tile splats —
+# `auto_tiers` scales the slot caps by sqrt(area ratio) (the geometric
+# middle of those regimes) and the top-K counts likewise. Candidates beyond
+# a Gaussian's tier are dropped and counted in num_dropped, so under-sizing
+# is observable (and surfaced into train metrics / eval logs), not silent.
 TIER1_SLOTS = 4
 TIER2_K, TIER2_SLOTS = 4096, 16
 TIER3_K = 512
+_BASE_TILES = 256  # 256^2 image at tile_size 16
+
+
+def auto_tiers(num_tiles: int) -> tuple:
+    """(tier1_slots, tier2_k, tier2_slots, tier3_k) scaled from the 256^2
+    baseline by sqrt(tiles-per-image ratio)."""
+    import math
+    f = max(1.0, math.sqrt(num_tiles / _BASE_TILES))
+    return (int(math.ceil(TIER1_SLOTS * f)), int(math.ceil(TIER2_K * f)),
+            int(math.ceil(TIER2_SLOTS * f)), int(math.ceil(TIER3_K * f)))
 
 
 def cumsum_1d_i32(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
@@ -107,6 +122,7 @@ def bin_gaussians(
     tiles_per_gauss: int,
     tile_offset: jnp.ndarray | None = None,
     num_images: int = 1,
+    tiers: tuple | None = None,
 ) -> TileBins:
     """Bin (Gaussian, tile) pairs into a depth-sorted per-tile entry list.
 
@@ -124,11 +140,12 @@ def bin_gaussians(
     num_tiles = tiles_x * tiles_y          # per image
     total_tiles = num_tiles * num_images
 
-    s1 = min(TIER1_SLOTS, tiles_per_gauss, num_tiles)
-    s2 = min(TIER2_SLOTS, tiles_per_gauss, num_tiles)
+    t1, t2k, t2s, t3k = tiers if tiers is not None else auto_tiers(num_tiles)
+    s1 = min(t1, tiles_per_gauss, num_tiles)
+    s2 = min(t2s, tiles_per_gauss, num_tiles)
     s3 = min(tiles_per_gauss, num_tiles)
-    k2 = min(TIER2_K * num_images, n)
-    k3 = min(TIER3_K * num_images, n)
+    k2 = min(t2k * num_images, n)
+    k3 = min(t3k * num_images, n)
 
     tmin_x, tmin_y, tmax_x, tmax_y = tile_bbox(
         proj.xys, proj.radii, tile_size, tiles_x, tiles_y)

@@ -90,7 +90,7 @@ def _render_chunked(
     )
     bins = bin_gaussians(
         proj, camera.height, camera.width, config.tile_size,
-        config.max_intersects, config.tiles_per_gauss)
+        config.max_intersects, config.tiles_per_gauss, tiers=config.tiers)
 
     # Gather per-entry data in sorted order; pad by chunk_size so the
     # chunked walker's dynamic slices never clamp.
@@ -110,7 +110,8 @@ def _render_chunked(
         transmittance_eps=config.transmittance_eps,
     )
     rgb = jnp.clip(rgb, max=1.0)  # gs_utils.py:111
-    return rgb, alpha[..., None]
+    stats = {"num_dropped": bins.num_dropped, "num_entries": bins.num_entries}
+    return rgb, alpha[..., None], stats
 
 
 def _render_images_pallas(
@@ -161,7 +162,7 @@ def _render_images_pallas(
 
     bins = bin_gaussians(projf, height, width, ts, total_budget,
                          config.tiles_per_gauss, tile_offset=tile_offset,
-                         num_images=v)
+                         num_images=v, tiers=config.tiers)
 
     pg_flat = pg_b.transpose(1, 0, 2).reshape(PACK_W, v * n_pad)
     # entries past the budget threshold sorted to the tail (sentinel tile);
@@ -178,7 +179,8 @@ def _render_images_pallas(
         num_images=v,
     )
     rgb = jnp.clip(rgb, max=1.0)  # gs_utils.py:111
-    return rgb, alpha[..., None]
+    stats = {"num_dropped": bins.num_dropped, "num_entries": bins.num_entries}
+    return rgb, alpha[..., None], stats
 
 
 def render_image(
@@ -194,9 +196,10 @@ def render_image(
                       cx=jnp.asarray(camera.cx)[None],
                       cy=jnp.asarray(camera.cy)[None],
                       width=camera.width, height=camera.height)
-        rgb, alpha = _render_images_pallas(scene, cams, background, config)
+        rgb, alpha, _ = _render_images_pallas(scene, cams, background, config)
         return rgb[0], alpha[0]
-    return _render_chunked(scene, camera, background, config)
+    rgb, alpha, _ = _render_chunked(scene, camera, background, config)
+    return rgb, alpha
 
 
 def render_images(
@@ -209,6 +212,20 @@ def render_images(
 
     The flat multi-view pipeline replaces the reference's per-view Python
     loop (gs_utils.py:20-27). Returns (rgb (V, H, W, 3), alpha (V, H, W, 1))."""
+    rgb, alpha, _ = render_images_stats(scene, cameras, background, config)
+    return rgb, alpha
+
+
+def render_images_stats(
+    scene: GaussianScene,
+    cameras: Camera,
+    background: jnp.ndarray,
+    config: RasterizeConfig = RasterizeConfig(),
+):
+    """render_images plus binning statistics: {'num_dropped',
+    'num_entries'} — num_dropped > 0 means (gaussian, tile) pairs were lost
+    to the tier caps or the max_intersects budget (silent quality loss at
+    scale otherwise; the training loop logs it)."""
     if config.resolved_use_pallas():
         return _render_images_pallas(scene, cameras, background, config)
 
@@ -217,5 +234,6 @@ def render_images(
                      width=cameras.width, height=cameras.height)
         return _render_chunked(scene, cam, background, config)
 
-    return jax.vmap(one)(cameras.c2w, cameras.fx, cameras.fy,
-                         cameras.cx, cameras.cy)
+    rgb, alpha, stats = jax.vmap(one)(cameras.c2w, cameras.fx, cameras.fy,
+                                      cameras.cx, cameras.cy)
+    return rgb, alpha, jax.tree.map(jnp.sum, stats)

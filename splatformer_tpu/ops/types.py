@@ -107,6 +107,11 @@ class RasterizeConfig:
     max_alpha: float = struct.field(pytree_node=False, default=0.999)
     # None = auto: Pallas kernels on TPU, chunked-JAX path elsewhere
     use_pallas: bool | None = struct.field(pytree_node=False, default=None)
+    # binning tier caps (tier1_slots, tier2_k, tier2_slots, tier3_k);
+    # None = auto-size from image area (binning.auto_tiers). Dropped entries
+    # are counted in the render stats (render_images_stats) — check
+    # num_dropped when rendering above ~1 MPx with unusual splat statistics.
+    tiers: tuple | None = struct.field(pytree_node=False, default=None)
 
     def resolved_use_pallas(self) -> bool:
         if self.use_pallas is None:

@@ -199,7 +199,12 @@ def evaluation(model, params, batch_stats, scene_list, mesh,
 
     for name, scene_batch in scene_list:
         batch = jax.tree.map(lambda a: jnp.asarray(a)[None], scene_batch)
-        pred, alpha, m_psnr, m_ssim = ev(params, batch_stats, batch)
+        pred, alpha, m_psnr, m_ssim, n_drop = ev(params, batch_stats, batch)
+        if int(n_drop[0]) > 0:
+            get_logger().warning(
+                "scene %s: binning dropped %d (gaussian, tile) entries — "
+                "raise RasterizeConfig.max_intersects/tiers", name,
+                int(n_drop[0]))
         pred = np.asarray(pred[0])
         gt = np.asarray(scene_batch.images)
         mc.update(jnp.asarray(pred), jnp.asarray(gt), name=name)
@@ -212,7 +217,7 @@ def evaluation(model, params, batch_stats, scene_list, mesh,
             save_image(os.path.join(output_dir, f"scene{name}_gt.png"),
                        make_grid(list(gt_u8)))
         if compare_with_input or save_viewer:
-            in_pred, _, _, _ = ev_input(params, batch_stats, batch)
+            in_pred, _, _, _, _ = ev_input(params, batch_stats, batch)
             in_u8 = (np.clip(np.asarray(in_pred[0]), 0, 1) * 255).astype(np.uint8)
             if compare_with_input:
                 mc_input.update(jnp.asarray(np.asarray(in_pred[0])),
@@ -378,7 +383,7 @@ def run_training(cfg, output_dir: str,
                 img_mesh = make_mesh(n_devices=1)
                 train_img_ev = make_eval_step(eval_model, img_mesh, rcfg)
             one = jax.tree.map(lambda a: jnp.asarray(a)[:1], batch)
-            pred, _, _, _ = train_img_ev(
+            pred, _, _, _, _ = train_img_ev(
                 replicate_to_mesh(state.params, img_mesh),
                 replicate_to_mesh(state.batch_stats, img_mesh), one)
             grid = make_grid(list((np.clip(np.asarray(pred[0]), 0, 1) * 255

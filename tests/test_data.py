@@ -188,3 +188,38 @@ def test_read_image_alpha_compositing(tmp_path, rng):
     a = 128 / 255
     np.testing.assert_allclose(img[0, 0],
                                [200 / 255 * a, (1 - a), 0.0], atol=1e-6)
+
+
+def test_colmap_points3d_write_model_roundtrip(tmp_path, rng):
+    """Full write_model/read_model round trip incl. points3D, binary AND
+    text (C7 parity: /root/reference/dataset/colmap_utils.py:356-436)."""
+    cams = {1: colmap_io.ColmapCamera(1, "PINHOLE", 64, 48,
+                                      np.array([50.0, 52.0, 32.0, 24.0]))}
+    q = np.array([0.9, 0.1, 0.2, 0.1])
+    q /= np.linalg.norm(q)
+    imgs = {1: colmap_io.ColmapImage(
+        1, q, np.array([0.1, 0.2, 0.3]), 1, "frame_000.png",
+        np.array([[1.5, 2.5], [3.0, 4.0]]), np.array([7, -1], np.int64))}
+    pts = {
+        3: colmap_io.ColmapPoint3D(
+            3, np.array([0.1, 0.2, 0.3]), np.array([10, 20, 30], np.uint8),
+            0.5, np.array([1, 1], np.int64), np.array([0, 1], np.int64)),
+        9: colmap_io.ColmapPoint3D(
+            9, np.array([-1.0, 2.0, -3.0]), np.array([0, 255, 7], np.uint8),
+            1.25, np.zeros(0, np.int64), np.zeros(0, np.int64)),
+    }
+    for ext in (".bin", ".txt"):
+        d = tmp_path / ext.strip(".")
+        colmap_io.write_model(cams, imgs, pts, str(d), ext=ext)
+        c2, i2, p2 = colmap_io.read_model(str(d), ext=ext)
+        assert set(p2) == {3, 9}
+        for pid in (3, 9):
+            np.testing.assert_allclose(p2[pid].xyz, pts[pid].xyz, atol=1e-12)
+            np.testing.assert_array_equal(p2[pid].rgb, pts[pid].rgb)
+            assert abs(p2[pid].error - pts[pid].error) < 1e-12
+            np.testing.assert_array_equal(p2[pid].image_ids,
+                                          pts[pid].image_ids)
+            np.testing.assert_array_equal(p2[pid].point2D_idxs,
+                                          pts[pid].point2D_idxs)
+        np.testing.assert_allclose(i2[1].xys, imgs[1].xys, atol=1e-12)
+        np.testing.assert_array_equal(i2[1].point3D_ids, imgs[1].point3D_ids)

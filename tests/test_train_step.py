@@ -133,11 +133,13 @@ def test_eval_step_shards_scenes():
     example = jax.tree.map(lambda a: a[0], batch.scene)
     variables = model.init(jax.random.key(0), example, False)
     ev = make_eval_step(model, mesh, RCFG)
-    rgb, alpha, m_psnr, m_ssim = ev(variables["params"],
-                                    variables.get("batch_stats", {}), batch)
+    rgb, alpha, m_psnr, m_ssim, n_drop = ev(variables["params"],
+                                            variables.get("batch_stats", {}),
+                                            batch)
     assert rgb.shape == (n_dev, 2, 32, 32, 3)
     assert m_psnr.shape == (n_dev, 2)
     assert bool(jnp.isfinite(m_psnr).all()) and bool(jnp.isfinite(m_ssim).all())
+    assert n_drop.shape == (n_dev,) and int(jnp.sum(n_drop)) == 0
 
 
 def test_dryrun_multichip_entrypoint():
