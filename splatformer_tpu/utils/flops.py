@@ -27,7 +27,14 @@ def xla_cost_analysis(fn, *args) -> Dict[str, float]:
 def _merge_kprime(patch: int, info: Dict[str, Any]) -> int:
     mode = (info or {}).get("tome", "base")
     r = float((info or {}).get("r", 0.0) or 0.0)
-    if mode in ("base", None, "none") or r <= 0:
+    if (mode in ("base", None, "none") or r <= 0
+            or not (info or {}).get("tome_attention", True)):
+        return patch
+    if mode == "algm":
+        # the TPU-static ALGM keeps K' = K and masks merged-away slots
+        # (ops/merging._algm) — actual matmul FLOPs stay at K; the
+        # data-dependent effective-token count is reported separately by
+        # the attention replay (n_effective_tokens)
         return patch
     from splatformer_tpu.ops.merging import _merge_count
     return patch - _merge_count(patch, r)
