@@ -17,7 +17,7 @@ def get_config() -> ConfigDict:
     cfg.load_pose_src = "colmap"
     cfg.batch_size = 1
     cfg.accumulate_step = 1
-    cfg.num_workers = 0
+    cfg.num_workers = 2
 
     cfg.train = ConfigDict()
     cfg.train.nerfstudio_folder = "data/oodbench/train/nerfstudio"

@@ -277,6 +277,32 @@ class SplatfactoScenes:
             }
 
 
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Host-side prefetch thread — the reference's DataLoader num_workers
+    equivalent: scene loading/PNG decoding overlaps the device step (the
+    dispatch itself is already async; this hides the host latency spikes of
+    torch.load on cache misses)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(int(depth), 1))
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
 def to_scene_batch(samples: Sequence[dict]):
     """Stack host samples into a device-axis SceneBatch pytree."""
     import jax.numpy as jnp

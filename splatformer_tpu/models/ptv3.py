@@ -368,6 +368,11 @@ class PointTransformerV3(nn.Module):
     turn_off_bn: bool = False
     # flash-attention control threaded to every block (None = auto on TPU)
     use_flash: Optional[bool] = None
+    # 'MLP' (Linear+BN+GELU, the reference's configured choice,
+    # configs/model/ptv3_base.gin:32) or 'PT_embedding' (submanifold-conv
+    # stem; the reference uses a 5^3 kernel, this build's conv is 3^3 —
+    # documented deviation, models/pointtransformer_v3.py:266-278)
+    embedding_type: str = "MLP"
     additional_info: Optional[Dict[str, Any]] = None
     # rematerialize each Block on the backward pass: within-block attention
     # temps (notably the (B, H, K, ch) qkv layouts, which TPU tiling pads
@@ -402,8 +407,23 @@ class PointTransformerV3(nn.Module):
         dec_dp = [float(x) for x in _np.linspace(
             0, self.drop_path, sum(self.dec_depths))]
 
-        # embedding (MLP type: Linear -> BN -> GELU)
-        h = nn.Dense(self.enc_channels[0], name="embed_linear")(pb.feat)
+        # stage-0 conv structure, shared by a PT_embedding stem and the
+        # stage-0 blocks (same grid_coord/mask)
+        nbr0 = build_neighbor_map(pb.grid_coord, pb.mask)
+
+        if self.embedding_type == "MLP":
+            # MLP embedding: Linear -> BN -> GELU
+            h = nn.Dense(self.enc_channels[0], name="embed_linear")(pb.feat)
+        elif self.embedding_type == "PT_embedding":
+            # conv stem: submanifold conv -> BN -> GELU
+            c0 = self.enc_channels[0]
+            w = self.param("embed_conv_kernel",
+                           nn.initializers.lecun_normal(),
+                           (27, pb.feat.shape[-1], c0))
+            bb = self.param("embed_conv_bias", nn.initializers.zeros, (c0,))
+            h = sparse_conv_apply(pb.feat, nbr0, w, bb)
+        else:
+            raise NotImplementedError(self.embedding_type)
         h = MaskedBatchNorm(axis_name=self.bn_axis_name, off=self.turn_off_bn,
                             name="embed_norm")(h, pb.mask, train)
         h = nn.gelu(h)
@@ -431,7 +451,8 @@ class PointTransformerV3(nn.Module):
                 clusters.append(cluster)
                 skips.append(pb)
                 pb = pb_child
-            nbr = build_neighbor_map(pb.grid_coord, pb.mask)
+            nbr = (nbr0 if s == 0
+                   else build_neighbor_map(pb.grid_coord, pb.mask))
             stage_nbrs.append(nbr)
             dp_slice = enc_dp[sum(self.enc_depths[:s]):sum(self.enc_depths[:s + 1])]
             for i in range(self.enc_depths[s]):

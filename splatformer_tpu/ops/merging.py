@@ -45,12 +45,17 @@ def _merge_count(k: int, r: float) -> int:
 # bipartite soft matching (ToMe) and relatives
 # ---------------------------------------------------------------------------
 
-def _bipartite(metric: jnp.ndarray, r_count: int, fuse: str = "mean"):
+def _bipartite(metric: jnp.ndarray, r_count: int, fuse: str = "mean",
+               src_protect: Optional[jnp.ndarray] = None):
     """metric (B, H, K, c). Returns (merge_fn, unmerge_fn, size).
 
     Alternating split: src = even positions, dst = odd positions. The
     r_count most-similar src tokens are merged into their best dst.
     Output layout: [kept src (K/2 - r), dst (K/2)] -> K' = K - r.
+
+    ``src_protect`` (half,) bool marks src slots that must never merge
+    (PiToMe protected tokens): their match score ranks last, and the caller
+    keeps r_count below the unprotected count.
     """
     b, h, k, c = metric.shape
     half = k // 2
@@ -61,6 +66,8 @@ def _bipartite(metric: jnp.ndarray, r_count: int, fuse: str = "mean"):
                         preferred_element_type=jnp.float32)
     best = jnp.max(scores, axis=-1)                  # (B, H, half)
     best_dst = jnp.argmax(scores, axis=-1)           # (B, H, half)
+    if src_protect is not None:
+        best = jnp.where(src_protect[None, None, :], -jnp.inf, best)
     order = jnp.argsort(-best, axis=-1)              # src ranks, merged first
     merged_rank = order[..., :r_count]               # (B, H, r)
     kept_rank = order[..., r_count:]                 # (B, H, half - r)
@@ -222,7 +229,8 @@ def _prune(metric: jnp.ndarray, r_count: int):
 # PiToMe — energy-gated bipartite merging with protected tokens
 # ---------------------------------------------------------------------------
 
-def _pitome(metric: jnp.ndarray, r_count: int, margin: float, alpha: float):
+def _pitome(metric: jnp.ndarray, r_count: int, margin: float, alpha: float,
+            protected_ratio: float = 0.0):
     b, h, k, c = metric.shape
     kn = _normalize(metric)
     sim = jnp.einsum("bhkc,bhqc->bhkq", kn, kn)
@@ -233,7 +241,18 @@ def _pitome(metric: jnp.ndarray, r_count: int, margin: float, alpha: float):
     order = jnp.argsort(-energy, axis=-1)
     inv = jnp.argsort(order, axis=-1)
     metric_sorted = jnp.take_along_axis(metric, order[..., None], axis=-2)
-    merge_b, unmerge_b, size = _bipartite(metric_sorted, r_count)
+    # protected tokens (lowest energy = most distinctive) occupy the LAST
+    # ceil(p * K) sorted positions — statically known, so protection is a
+    # fixed slot mask + a cap on the merge count
+    src_protect = None
+    if protected_ratio > 0.0:
+        import numpy as _np
+        n_p = int(_np.ceil(protected_ratio * k))
+        prot = _np.arange(k) >= k - n_p
+        src_protect = jnp.asarray(prot[0::2])
+        r_count = min(r_count, k // 2 - int(prot[0::2].sum()))
+    merge_b, unmerge_b, size = _bipartite(metric_sorted, r_count,
+                                          src_protect=src_protect)
 
     def merge(x, weights=None):
         xs = jnp.take_along_axis(x, order[..., None], axis=-2)
@@ -326,7 +345,8 @@ def build_merge(mode: str, metric: jnp.ndarray, info: Dict[str, Any],
     elif mode == "pitome":
         merge, unmerge, size = _pitome(
             metric, r_count, margin=float(info.get("margin", 0.9)),
-            alpha=float(info.get("alpha", 1.0)))
+            alpha=float(info.get("alpha", 1.0)),
+            protected_ratio=float(info.get("protected_ratio", 0.0)))
     elif mode == "prune":
         merge, unmerge, size = _prune(metric, r_count)
     elif mode in ("patch", "wpatch", "random_patch", "important_patch"):

@@ -56,9 +56,14 @@ def build_feature_predictor(model_cfg, bn_axis_name=None,
             drop_path=b.drop_path,
             turn_off_bn=b.get("turn_off_bn", False),
             use_flash=(True if b.enable_flash else None),
+            embedding_type=b.get("embedding_type", "MLP"),
             pool_capacity_factors=tuple(b.pool_capacity_factors))
     else:
         backbone_kwargs = dict(model_cfg.get("sp_backbone", {}))
+    head_type = model_cfg.get("output_head_type", "mlp-relu")
+    assert head_type == "mlp-relu", (
+        f"output_head_type={head_type!r}: only 'mlp-relu' exists "
+        "(the reference's sole head type, feature_predictor.py:74-89)")
     info = dict(model_cfg.additional_info) if model_cfg.additional_info else {}
     return FeaturePredictor(
         backbone_type=model_cfg.backbone_type,
@@ -124,6 +129,13 @@ def make_synthetic_data(ds_cfg, n_devices: int, rcfg: RasterizeConfig):
 def make_splatfacto_data(ds_cfg, n_devices: int):
     """Real data pipeline over nerfstudio/COLMAP folders (C6/C8)."""
     from splatformer_tpu.data.dataset import SplatfactoScenes, to_scene_batch
+
+    # one scene per device per micro-step (the reference's loader asserts
+    # batch % (ngpus * accum) == 0 and FeaturePredictor asserts batch 1,
+    # Loader.py:15-17 / feature_predictor.py:244); scale batch via the mesh
+    # or accumulate_step instead
+    assert int(ds_cfg.get("batch_size", 1)) == 1, \
+        "batch_size must be 1 (scenes batch across the device mesh)"
 
     pad_to = ds_cfg.pad_to or ((ds_cfg.max_gs_num + 1023) // 1024) * 1024
     train_ds = SplatfactoScenes(
@@ -330,6 +342,13 @@ def run_training(cfg, output_dir: str,
     state = init_state(model, tx, example_scene,
                        jax.random.key(cfg.train.seed))
 
+    # host-side prefetch (the reference's DataLoader num_workers): decouples
+    # scene loading/decoding from the device step
+    num_workers = int(cfg.dataset.get("num_workers", 0))
+    if num_workers > 0:
+        from splatformer_tpu.data.dataset import prefetch_iterator
+        train_iter = prefetch_iterator(train_iter, depth=num_workers)
+
     ckpt_dir = os.path.join(output_dir, "checkpoints")
     if ckpt_lib.latest_step(ckpt_dir) is not None:
         state = ckpt_lib.restore_checkpoint(ckpt_dir, state)
@@ -347,6 +366,14 @@ def run_training(cfg, output_dir: str,
             len(report["mismatched"]))
         for path in report["missing"] + report["mismatched"]:
             logger.info("  not loaded: %s", path)
+    if (ckpt_lib.latest_step(ckpt_dir) is None
+            and int(cfg.train.get("resume_from_step", 0)) > 0):
+        # reference train.py:209,227 — offset the step counter when resuming
+        # from weights without optimizer state
+        state = state.replace(step=jnp.asarray(
+            int(cfg.train.resume_from_step), jnp.int32))
+        logger.info("resume_from_step: step counter set to %d",
+                    int(state.step))
 
     lpips_params = load_lpips_params(cfg.train.get("lpips_weights_path", ""))
     lpips_w = cfg.train.lpips_loss_weight if lpips_params is not None else 0.0

@@ -189,3 +189,76 @@ def test_resume_ckpt_partial_backbone_load(rng, tmp_path):
     h_m = jax.tree.leaves(merged["head_means"])
     for a, b in zip(h_b, h_m):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_pitome_protected_ratio_limits_merges(rng):
+    q, k, v = make_qkv(rng, b=1, h=1, k=32, c=8)
+    # protect half the tokens: merge count must drop vs unprotected
+    _, _, _, s0, _ = process_merging(
+        "pitome", q, k, v, {"r": 0.9, "margin": 0.9, "alpha": 1.0,
+                            "protected_ratio": 0.0})
+    _, _, _, s1, _ = process_merging(
+        "pitome", q, k, v, {"r": 0.9, "margin": 0.9, "alpha": 1.0,
+                            "protected_ratio": 0.5})
+    merged0 = 32 - s0.shape[-2]
+    merged1 = 32 - s1.shape[-2]
+    assert merged1 < merged0
+    assert merged1 <= 32 // 2 - 8  # at most half - protected src count
+
+
+def test_pt_embedding_stem(rng):
+    from splatformer_tpu.models.ptv3 import PointTransformerV3
+
+    n, c = 128, 8
+    coord = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    feat = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+    pb = make_point_batch(coord, feat, jnp.ones(n, bool), grid_resolution=32)
+    kwargs = dict(
+        in_channels=c, enc_depths=(1, 1), enc_channels=(8, 16),
+        enc_num_head=(1, 2), enc_patch_size=(16, 16), dec_depths=(1,),
+        dec_channels=(8,), dec_num_head=(1,), dec_patch_size=(16,),
+        stride=(2,), drop_path=0.0, remat_blocks=False)
+    model = PointTransformerV3(embedding_type="PT_embedding", **kwargs)
+    variables = model.init(jax.random.key(0), pb, False)
+    assert "embed_conv_kernel" in variables["params"]
+    assert "embed_linear" not in variables["params"]
+    y, _ = model.apply(variables, pb, False)
+    assert y.shape[0] == n and bool(jnp.isfinite(y).all())
+
+
+def test_resume_from_step_offsets_counter(tmp_path):
+    from splatformer_tpu.configs import build_full_config
+    from splatformer_tpu.training.loop import run_training
+
+    cfg = build_full_config("ptv3_base", "synthetic", "default")
+    cfg.dataset.n_scenes = 1
+    cfg.dataset.n_gaussians = 128
+    cfg.dataset.pad_to = 128
+    cfg.dataset.max_gs_num = 128
+    cfg.dataset.image_size = 16
+    cfg.dataset.image_per_scene = 1
+    b = cfg.model.backbone
+    b.enc_channels = (8, 16)
+    b.dec_channels = (8,)
+    b.enc_depths = (1, 1)
+    b.enc_num_head = (1, 2)
+    b.dec_depths = (1,)
+    b.dec_num_head = (1,)
+    b.stride = (2,)
+    b.patch_size = 16
+    b.drop_path = 0.0
+    b.pool_capacity_factors = (1.0,)
+    cfg.model.output_head_width = 8
+    cfg.model.output_head_nlayer = 2
+    cfg.model.grid_resolution = 16
+    cfg.train.eval_interval = 0
+    cfg.train.log_image_interval = 0
+    cfg.train.bf16 = False
+    cfg.train.resume_from_step = 3
+    state, *_ = run_training(cfg, str(tmp_path / "r"), max_steps=4)
+    assert int(state.step) == 4  # started at 3, ran 1 step
+
+
+def test_prefetch_iterator_order():
+    from splatformer_tpu.data.dataset import prefetch_iterator
+    assert list(prefetch_iterator(iter(range(20)), depth=3)) == list(range(20))
