@@ -443,6 +443,9 @@ def run_training(cfg, output_dir: str,
                     tb.add_scalar(k, v, opt_step)
         if (step % accum == 0 and cfg.train.eval_interval > 0
                 and opt_step > 0 and opt_step % cfg.train.eval_interval == 0):
+            # flush history at every eval so interrupted runs keep artifacts
+            with open(os.path.join(output_dir, "history.json"), "w") as f:
+                json.dump(history, f)
             _run_evals(cfg, eval_model, state, test_factories, mesh, rcfg,
                        output_dir, opt_step, logger, lpips_fn)
         if (step % accum == 0 and (opt_step + 1) % cfg.train.save_interval == 0):
