@@ -1,0 +1,127 @@
+"""Assemble REFINEMENT.md from a finished oodbench training run: per-scene
+input-3DGS vs refined PSNR/SSIM on held-out OOD test scenes, training curve
+summary, and benchmark provenance.
+
+    python scripts/make_refinement_report.py --run output/oodbench_r2 \
+        --data data/oodbench --out REFINEMENT.md
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def load_metric_jsons(pattern):
+    out = {}
+    for path in glob.glob(pattern):
+        with open(path) as f:
+            out.update(json.load(f))
+    return out
+
+
+def scene_means(metrics):
+    rows = {}
+    for scene, m in sorted(metrics.items()):
+        rows[scene] = {k: float(np.mean(v)) for k, v in m.items()}
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", default="output/oodbench_r2")
+    ap.add_argument("--data", default="data/oodbench")
+    ap.add_argument("--eval_subdir", default="test/oodbench")
+    ap.add_argument("--out", default="REFINEMENT.md")
+    args = ap.parse_args()
+
+    ev = os.path.join(args.run, args.eval_subdir)
+    refined = scene_means(load_metric_jsons(
+        os.path.join(ev, "metrics.rank*.json")))
+    inputs = scene_means(load_metric_jsons(
+        os.path.join(ev, "metrics_input.rank*.json")))
+    assert refined and inputs, f"no eval metrics under {ev}"
+
+    hist = []
+    hp = os.path.join(args.run, "history.json")
+    if os.path.exists(hp):
+        with open(hp) as f:
+            hist = json.load(f)
+
+    gen = []
+    gp = os.path.join(args.data, "generation_summary.jsonl")
+    if os.path.exists(gp):
+        with open(gp) as f:
+            gen = [json.loads(l) for l in f if l.strip()]
+
+    lines = []
+    lines.append("# REFINEMENT — end-to-end proof (round 2)\n")
+    lines.append(
+        "The product claim of SplatFormer, demonstrated on this framework's\n"
+        "own OOD benchmark (scripts/make_ood_benchmark.py): a FeaturePredictor\n"
+        "trained on fitted-3DGS scenes improves held-out OOD renders over the\n"
+        "input 3DGS. Training and evaluation ran on ONE real TPU chip through\n"
+        "`train.py --dataset oodbench` (bf16 blocks + Pallas rasterizer).\n")
+
+    lines.append("\n## Held-out OOD test scenes: input 3DGS vs refined\n")
+    lines.append("| scene | input PSNR | refined PSNR | Δ | input SSIM | "
+                 "refined SSIM |")
+    lines.append("|---|---|---|---|---|---|")
+    dpsnr = []
+    for scene in sorted(refined):
+        r, i = refined[scene], inputs.get(scene, {})
+        if not i:
+            continue
+        d = r["psnr"] - i["psnr"]
+        dpsnr.append(d)
+        lines.append(f"| {scene} | {i['psnr']:.3f} | {r['psnr']:.3f} | "
+                     f"{d:+.3f} | {i['ssim']:.4f} | {r['ssim']:.4f} |")
+    mi = float(np.mean([inputs[s]["psnr"] for s in sorted(inputs)]))
+    mr = float(np.mean([refined[s]["psnr"] for s in sorted(refined)]))
+    msi = float(np.mean([inputs[s]["ssim"] for s in sorted(inputs)]))
+    msr = float(np.mean([refined[s]["ssim"] for s in sorted(refined)]))
+    lines.append(f"| **mean** | **{mi:.3f}** | **{mr:.3f}** | "
+                 f"**{mr - mi:+.3f}** | **{msi:.4f}** | **{msr:.4f}** |")
+
+    if hist:
+        lines.append("\n## Training curve (history.json)\n")
+        lines.append("| step | total_loss | train_psnr | steps/s |")
+        lines.append("|---|---|---|---|")
+        idxs = np.linspace(0, len(hist) - 1, min(12, len(hist)), dtype=int)
+        for i in idxs:
+            h = hist[int(i)]
+            lines.append(f"| {h['step']} | {h.get('total_loss', 0):.4f} | "
+                         f"{h.get('train_psnr', 0):.2f} | "
+                         f"{h.get('steps_per_s', 0):.2f} |")
+
+    if gen:
+        tr = [g for g in gen if g["split"] == "train"]
+        te = [g for g in gen if g["split"] == "test"]
+        lines.append("\n## Benchmark provenance (generation_summary.jsonl)\n")
+        lines.append(
+            f"{len(tr)} train + {len(te)} test scenes; per-scene input 3DGS "
+            f"fitted from low-elevation rings only (fit PSNR on input views "
+            f"{np.mean([g['fit_psnr_input_views'] for g in gen]):.2f} dB "
+            f"mean) degrades to "
+            f"{np.mean([g['fit_psnr_ood_views'] for g in gen]):.2f} dB mean "
+            "on the 70/80/90-degree OOD views — the artifact gap the "
+            "refiner closes.\n")
+
+    lines.append("\n## Reproduce\n")
+    lines.append("```bash\npython scripts/make_ood_benchmark.py --out "
+                 "data/oodbench --n_train_scenes 32 --n_test_scenes 8\n"
+                 "sh scripts/run_oodbench_r2.sh\npython scripts/"
+                 "make_refinement_report.py\n```\n")
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}: mean OOD PSNR {mi:.3f} -> {mr:.3f} "
+          f"({mr - mi:+.3f} dB over input 3DGS)")
+
+
+if __name__ == "__main__":
+    main()
