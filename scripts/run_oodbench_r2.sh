@@ -15,17 +15,18 @@ sleep 30   # let the generator process exit cleanly (single TPU process rule)
 
 OUT=output/oodbench_r2
 python train.py --dataset oodbench --model ptv3_base --output_dir "$OUT" \
-    --max_steps 4000 \
-    --override train.total_steps=4000 \
-    --override train.eval_interval=500 \
-    --override train.save_interval=2000 \
+    --max_steps 12000 \
+    --override train.total_steps=12000 \
+    --override train.eval_interval=1000 \
+    --override train.save_interval=4000 \
     --override train.log_interval=20 \
-    --override train.log_image_interval=500 \
-    --override train.optimizer.warmup_steps=100 \
+    --override train.log_image_interval=1000 \
+    --override train.optimizer.warmup_steps=200 \
+    --override train.optimizer.schedule=cosine \
     --override "train.optimizer.lr_dict={'base': 1e-4, 'backbone': 1e-4}"
 
 # final eval with input comparison (writes eval.csv + metrics_input JSONs)
 python train.py --dataset oodbench --model ptv3_base --output_dir "$OUT" \
     --only_eval --compare_with_input --eval_subdir test \
-    --override train.total_steps=4000
+    --override train.total_steps=12000
 echo "RUN COMPLETE"
