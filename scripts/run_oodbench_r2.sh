@@ -6,8 +6,9 @@
 set -e
 cd "$(dirname "$0")/.."
 
-# wait for the generator (40 scenes) to finish
-while [ "$(wc -l < data/oodbench/generation_summary.jsonl 2>/dev/null || echo 0)" -lt 40 ]; do
+# wait for the generator to finish (N_SCENES=total scenes, default 40)
+N_SCENES=${N_SCENES:-40}
+while [ "$(wc -l < data/oodbench/generation_summary.jsonl 2>/dev/null || echo 0)" -lt "$N_SCENES" ]; do
     sleep 60
 done
 echo "generation complete: $(wc -l < data/oodbench/generation_summary.jsonl) scenes"
@@ -18,7 +19,7 @@ python train.py --dataset oodbench --model ptv3_base --output_dir "$OUT" \
     --max_steps 12000 \
     --override train.total_steps=12000 \
     --override train.eval_interval=1000 \
-    --override train.save_interval=4000 \
+    --override train.save_interval=2000 \
     --override train.log_interval=20 \
     --override train.log_image_interval=1000 \
     --override train.optimizer.warmup_steps=200 \
