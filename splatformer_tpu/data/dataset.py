@@ -190,11 +190,14 @@ class SplatfactoScenes:
         return scene
 
     def _cached_scene(self, idx: int) -> dict:
-        for entry in self._cache:
+        for i, entry in enumerate(self._cache):
             if entry[0]["idx"] == idx:
                 entry[1] += 1
                 if self.cache_steps > 0 and entry[1] >= self.cache_steps:
-                    self._cache.remove(entry)
+                    # remove by position: list.remove would compare entries
+                    # with ==, which broadcasts the numpy arrays inside the
+                    # scene dicts (and fails across different-size scenes)
+                    del self._cache[i]
                 return entry[0]
         scene = self.load_scene(idx)
         if self.cache_steps != 1 and len(self._cache) < self.cache_num_scenes:

@@ -223,3 +223,32 @@ def test_colmap_points3d_write_model_roundtrip(tmp_path, rng):
                                           pts[pid].point2D_idxs)
         np.testing.assert_allclose(i2[1].xys, imgs[1].xys, atol=1e-12)
         np.testing.assert_array_equal(i2[1].point3D_ids, imgs[1].point3D_ids)
+
+
+def test_scene_cache_eviction_with_unequal_scene_sizes(fake_dataset,
+                                                       monkeypatch):
+    """Regression: cache eviction used list.remove, which compares entries
+    with == and broadcasts the numpy arrays inside the scene dicts —
+    crashing as soon as two cached scenes had different Gaussian counts
+    (seen at step ~60 of the first real oodbench training run)."""
+    ns_root, cm_root = fake_dataset
+    ds = SplatfactoScenes(
+        "train", ns_root, cm_root, image_per_scene=2, max_gs_num=100,
+        pad_to=128, background_color=[0, 0, 0],
+        cache_steps=2, cache_num_scenes=3)
+    sizes = iter([50, 60, 70, 80, 90])
+
+    real_load = SplatfactoScenes.load_scene
+
+    def load_varying(self, idx):
+        scene = real_load(self, idx)
+        n = next(sizes)
+        scene["gs_params"] = {k: v[:n] for k, v in scene["gs_params"].items()}
+        return scene
+
+    monkeypatch.setattr(SplatfactoScenes, "load_scene", load_varying)
+    # hit each scene cache entry cache_steps times with several different
+    # shapes resident; pre-fix this raised "operands could not be broadcast"
+    for idx in [0, 1, 0, 1, 0, 1, 2, 2]:
+        ds._cached_scene(idx % len(ds.folders))
+    assert len(ds._cache) <= 3

@@ -43,6 +43,11 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    # persistent compile cache: restarts and the eval-only pass reuse the
+    # (minutes-long, remote) TPU compiles instead of repaying them
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from splatformer_tpu.parallel.distributed import \
         maybe_initialize_distributed
