@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--data", default="data/oodbench")
     ap.add_argument("--eval_subdir", default="test/oodbench")
     ap.add_argument("--out", default="REFINEMENT.md")
+    ap.add_argument("--archive", default="reports/oodbench_r2",
+                    help="tracked dir to copy run artifacts into (eval.csv, "
+                         "history.json, metric JSONs, sample compare strips); "
+                         "empty string disables")
     args = ap.parse_args()
 
     ev = os.path.join(args.run, args.eval_subdir)
@@ -110,6 +114,34 @@ def main():
             f"{np.mean([g['fit_psnr_ood_views'] for g in gen]):.2f} dB mean "
             "on the 70/80/90-degree OOD views — the artifact gap the "
             "refiner closes.\n")
+
+    strips = []
+    if args.archive:
+        import shutil
+        os.makedirs(args.archive, exist_ok=True)
+        for src in ["eval.csv", os.path.join(args.run, "history.json"),
+                    os.path.join(args.run, "train.log"), gp]:
+            if src and os.path.exists(src):
+                shutil.copy(src, os.path.join(args.archive,
+                                              os.path.basename(src)))
+        for src in (glob.glob(os.path.join(ev, "metrics.rank*.json"))
+                    + glob.glob(os.path.join(ev, "metrics_input.rank*.json"))):
+            shutil.copy(src, os.path.join(args.archive,
+                                          os.path.basename(src)))
+        # one compare strip (gt | input 3DGS | refined) per test scene
+        for sdir in sorted(glob.glob(os.path.join(ev, "compare", "*"))):
+            pngs = sorted(glob.glob(os.path.join(sdir, "*.png")))
+            if pngs:
+                dst = os.path.join(
+                    args.archive,
+                    f"compare_{os.path.basename(sdir)}_{os.path.basename(pngs[0])}")
+                shutil.copy(pngs[0], dst)
+                strips.append(dst)
+
+    if strips:
+        lines.append("\n## Qualitative strips (GT | input 3DGS | refined)\n")
+        for s in strips:
+            lines.append(f"![{os.path.basename(s)}]({s})\n")
 
     lines.append("\n## Reproduce\n")
     lines.append("```bash\npython scripts/make_ood_benchmark.py --out "
