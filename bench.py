@@ -2,20 +2,35 @@
 on one chip, with an XLA-cost-analysis roofline (BASELINE.json metric line:
 "rasterize Mrays/s/chip + train iters/s").
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}:
-the headline stays rasterizer Mrays/s; train iters/s, MFU and
-bandwidth-utilization estimates ride in "extra". All progress goes to
-stderr. The reference publishes no wall-clock throughput (BASELINE.md), so
-vs_baseline reports against the fixed target 1.0 (informational). See
+Prints the result as JSON lines {"metric", "value", "unit", "vs_baseline",
+"extra"}: one line immediately after the rasterizer section (so a timeout
+still leaves a parseable metric) and the authoritative final line after the
+train-step section — the headline stays rasterizer Mrays/s; train iters/s,
+MFU and bandwidth-utilization estimates ride in "extra". All progress goes
+to stderr. The reference publishes no wall-clock throughput (BASELINE.md),
+so vs_baseline reports against the fixed target 1.0 (informational). See
 PERF.md for the committed breakdown.
+
+Compiles go through the persistent cache (.jax_cache, same as train.py) —
+run scripts/prewarm_bench.sh once after kernel changes so the driver's
+timed run pays seconds, not the ~14-minute remote TPU compile.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 import jax
+
+# persistent compile cache: the rasterizer fwd+bwd compile is minutes-long
+# through the remote TPU tunnel (BENCH_r02: 827 s); reuse it across runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 # TPU v5e (v5 lite) peaks: 197 TFLOP/s bf16, 819 GB/s HBM.
@@ -145,28 +160,40 @@ def bench_train_step(n, hw, views=4):
     return 1.0 / dt, rf
 
 
-def main():
-    n_gauss = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    hw = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-
-    mrays, rf_raster = bench_rasterizer(n_gauss, hw)
-    log(f"rasterizer: {mrays:.3f} Mrays/s  roofline: {rf_raster}")
-    iters_s, rf_train = bench_train_step(n_gauss, hw)
-    log(f"train step: {iters_s:.3f} iters/s  roofline: {rf_train}")
-
-    print(json.dumps({
+def result_line(mrays, rf_raster, extra_train=None, **cfg):
+    extra = {"rasterizer_roofline": rf_raster, "config": cfg}
+    if extra_train:
+        extra.update(extra_train)
+    return json.dumps({
         "metric": "rasterize_fwd_bwd_mrays_per_s_per_chip",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": 1.0,
-        "extra": {
-            "train_step_iters_per_s_per_chip": round(iters_s, 3),
-            "rasterizer_roofline": rf_raster,
-            "train_step_roofline": rf_train,
-            "config": {"n_gauss": n_gauss, "hw": hw, "views": 4,
-                       "model": "ptv3_base bf16"},
-        },
-    }))
+        "extra": extra,
+    })
+
+
+def main():
+    n_gauss = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    hw = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    cfg = {"n_gauss": n_gauss, "hw": hw, "views": 4,
+           "model": "ptv3_base bf16"}
+
+    mrays, rf_raster = bench_rasterizer(n_gauss, hw)
+    log(f"rasterizer: {mrays:.3f} Mrays/s  roofline: {rf_raster}")
+    # eager partial line: a timeout in the train-step section still leaves
+    # the headline metric parseable (BENCH_r02 lost everything to rc=124)
+    print(result_line(mrays, rf_raster, **cfg), flush=True)
+
+    iters_s, rf_train = bench_train_step(n_gauss, hw)
+    log(f"train step: {iters_s:.3f} iters/s  roofline: {rf_train}")
+
+    # authoritative final line (parsers taking either first or last line of
+    # stdout get a valid result)
+    print(result_line(mrays, rf_raster, extra_train={
+        "train_step_iters_per_s_per_chip": round(iters_s, 3),
+        "train_step_roofline": rf_train,
+    }, **cfg), flush=True)
 
 
 if __name__ == "__main__":

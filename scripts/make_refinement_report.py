@@ -140,8 +140,10 @@ def main():
 
     if strips:
         lines.append("\n## Qualitative strips (GT | input 3DGS | refined)\n")
+        out_dir = os.path.dirname(os.path.abspath(args.out))
         for s in strips:
-            lines.append(f"![{os.path.basename(s)}]({s})\n")
+            rel = os.path.relpath(os.path.abspath(s), out_dir)
+            lines.append(f"![{os.path.basename(s)}]({rel})\n")
 
     lines.append("\n## Reproduce\n")
     lines.append("```bash\npython scripts/make_ood_benchmark.py --out "

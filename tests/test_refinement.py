@@ -1,7 +1,9 @@
-"""CI-scale refinement regression (VERDICT round-1 next-step 1): a tiny
-FeaturePredictor trained for 100 steps on noisy-scene/clean-render pairs
-must IMPROVE held-view PSNR over the input scenes — the product claim
-(feed-forward 3DGS refinement) at smoke scale.
+"""CI-scale refinement regression (VERDICT round-1 next-step 1, tightened in
+round 3): a tiny FeaturePredictor trained for 100 steps on noisy-scene /
+clean-render pairs must IMPROVE PSNR over the input scenes on views it never
+trained on — and on a scene it never saw — so CI certifies generalization,
+not memorization (VERDICT r2 weak #2; reference OOD protocol
+/root/reference/dataset/GS.py:222-238).
 
 turn_off_bn keeps train/eval normalization identical (BN running stats lag
 far behind at 100 steps with the reference's 0.01 momentum); the full-scale
@@ -28,25 +30,47 @@ TINY = dict(enc_depths=(1, 1), enc_channels=(16, 32), enc_num_head=(2, 4),
             dec_num_head=(2,), dec_patch_size=(16,), stride=(2,),
             drop_path=0.0, pool_capacity_factors=(0.75,), turn_off_bn=True)
 
+HW = 48
+# train views: 2-view ring at elevation 30; held-out views: a DISJOINT
+# 3-view ring at elevation 55 (different azimuth spacing too)
+TRAIN_CAMS = orbit_cameras(2, HW, HW, elevation_deg=30.0)
+HELD_CAMS = orbit_cameras(3, HW, HW, elevation_deg=55.0)
 
-def _pair(i, n=256, v=2, hw=48, noise=0.02):
+
+def _scene_pair(i, n=256, noise=0.02, corrupt_seed=None):
+    """(corrupted scene, clean scene): GT renders come from `clean`.
+
+    corrupt_seed decouples the corruption draw from the scene identity —
+    resampling it per training step is the corruption-resampling
+    augmentation the real pipeline uses against memorization."""
     r = np.random.default_rng(i)
     clean = random_scene(r, n, sh_degree=1)
-    cams = orbit_cameras(v, hw, hw)
-    gt, _ = render_images(clean, cams, jnp.zeros(3), RCFG)
+    rc = np.random.default_rng(i if corrupt_seed is None else corrupt_seed)
     corrupted = clean.replace(
         means=clean.means + noise * jnp.asarray(
-            r.normal(size=clean.means.shape), jnp.float32),
+            rc.normal(size=clean.means.shape), jnp.float32),
         scales=clean.scales + 0.3 * jnp.asarray(
-            r.normal(size=clean.scales.shape), jnp.float32))
-    return SceneBatch(scene=corrupted, cameras=cams, images=gt,
-                      background=jnp.zeros(3))
+            rc.normal(size=clean.scales.shape), jnp.float32))
+    return corrupted, clean
 
 
-def test_training_improves_psnr_over_input():
-    pairs = [_pair(i) for i in range(2)]
+_GT_CACHE = {}
+
+
+def _train_batch(i, corrupt_seed=None):
+    corrupted, clean = _scene_pair(i, corrupt_seed=corrupt_seed)
+    if i not in _GT_CACHE:
+        _GT_CACHE[i] = render_images(clean, TRAIN_CAMS, jnp.zeros(3), RCFG)[0]
+    return SceneBatch(scene=corrupted, cameras=TRAIN_CAMS,
+                      images=_GT_CACHE[i], background=jnp.zeros(3))
+
+
+def test_training_improves_psnr_on_held_out_views_and_scene():
+    train_ids = [0, 1, 2, 3]
+    held_scene_id = 7  # never trained on
+    pairs = [_train_batch(i) for i in train_ids]
     batch = jax.tree.map(lambda *x: jnp.stack(x), *pairs)
-    mesh = make_mesh(n_devices=2)
+    mesh = make_mesh(n_devices=4)
     model = FeaturePredictor(
         backbone_type="PT", sh_degree=1, grid_resolution=64,
         res_feature_activation={"means": "tanh"}, bn_axis_name="data",
@@ -54,28 +78,45 @@ def test_training_improves_psnr_over_input():
     example = jax.tree.map(lambda a: a[0], batch.scene)
     params0 = model.init(jax.random.key(0), example, False)["params"]
 
-    def eval_psnr(params):
+    def eval_psnr(params, scene_ids):
+        """PSNR on the HELD-OUT views (GT from the clean scene)."""
         vals = []
-        for b in pairs:
+        for i in scene_ids:
+            corrupted, clean = _scene_pair(i)
+            gt, _ = render_images(clean, HELD_CAMS, jnp.zeros(3), RCFG)
             if params is None:
-                refined = b.scene
+                refined = corrupted
             else:
-                refined, _ = model.apply({"params": params}, b.scene, False)
-            rgb, _ = render_images(refined, b.cameras, b.background, RCFG)
-            vals.append(float(jnp.mean(psnr(rgb, b.images))))
+                refined, _ = model.apply({"params": params}, corrupted,
+                                         False)
+            rgb, _ = render_images(refined, HELD_CAMS, jnp.zeros(3), RCFG)
+            vals.append(float(jnp.mean(psnr(rgb, gt))))
         return sum(vals) / len(vals)
 
-    input_psnr = eval_psnr(None)
+    input_train = eval_psnr(None, train_ids)
+    input_held = eval_psnr(None, [held_scene_id])
     # zero-init heads: the untrained model is an identity refinement
-    assert abs(eval_psnr(params0) - input_psnr) < 1e-3
+    assert abs(eval_psnr(params0, train_ids) - input_train) < 1e-3
 
     tx = build_optimizer(params0, lr_dict={"base": 1e-3, "backbone": 1e-3},
                          total_steps=1000)
     state = init_state(model, tx, example, jax.random.key(0))
     step = make_train_step(model, tx, mesh, RCFG)
-    sb = shard_batch(mesh, batch)
-    for i in range(100):
-        state, metrics = step(state, sb, jax.random.key(7))
+    for i in range(200):
+        # corruption-resampling augmentation: a fresh corruption draw per
+        # step makes input->output pairs impossible to memorize, forcing
+        # the scene-agnostic repair rule
+        pairs_i = [_train_batch(s, corrupt_seed=1000 + 31 * i + s)
+                   for s in train_ids]
+        sb = shard_batch(mesh, jax.tree.map(lambda *x: jnp.stack(x),
+                                            *pairs_i))
+        state, metrics = step(state, sb, jax.random.key(i))
 
-    refined_psnr = eval_psnr(jax.device_get(state.params))
-    assert refined_psnr > input_psnr + 1.0, (refined_psnr, input_psnr)
+    params = jax.device_get(state.params)
+    # held-out VIEWS of the training scenes: the model must repair geometry,
+    # not memorize the 2 training viewpoints
+    refined_train = eval_psnr(params, train_ids)
+    assert refined_train > input_train + 1.0, (refined_train, input_train)
+    # held-out SCENE (and held-out views): pure generalization
+    refined_held = eval_psnr(params, [held_scene_id])
+    assert refined_held > input_held + 0.5, (refined_held, input_held)

@@ -26,6 +26,9 @@ def parse_args():
     p.add_argument("--merge_rate", type=float, default=None,
                    help="overrides additional_info.r (CLI > config)")
     p.add_argument("--compare_with_input", action="store_true")
+    p.add_argument("--ckpt", default="best", choices=("best", "last"),
+                   help="eval-only: restore the best-by-held-out-PSNR "
+                        "checkpoint when one exists (default), or the last")
     p.add_argument("--save_as_single", action="store_true")
     p.add_argument("--save_viewer", action="store_true")
     p.add_argument("--max_steps", type=int, default=None)
@@ -97,9 +100,16 @@ def main():
     tx = build_optimizer(variables["params"],
                          lr_dict=dict(cfg.train.optimizer.lr_dict))
     state = init_state(model, tx, example, jax.random.key(0))
-    state = ckpt_lib.restore_checkpoint(
-        os.path.join(args.output_dir, "checkpoints"), state)
-    logger.info("eval from step %d", int(state.step))
+    # prefer the best-by-held-out-PSNR checkpoint (training saves one at
+    # every improving eval); --ckpt last opts out
+    best_dir = os.path.join(args.output_dir, "checkpoints_best")
+    if args.ckpt == "best" and ckpt_lib.latest_step(best_dir) is not None:
+        state = ckpt_lib.restore_checkpoint(best_dir, state)
+        logger.info("eval from BEST checkpoint, step %d", int(state.step))
+    else:
+        state = ckpt_lib.restore_checkpoint(
+            os.path.join(args.output_dir, "checkpoints"), state)
+        logger.info("eval from step %d", int(state.step))
 
     lpips_fn = make_lpips_fn(cfg.train.get("lpips_weights_path", ""))
     info = dict(cfg.model.additional_info or {})
