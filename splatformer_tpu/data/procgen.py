@@ -182,12 +182,12 @@ def make_gt_scene(seed: int, n_gauss: int = 32768, sh_degree: int = 1,
     counts[-1] = n_gauss - counts[:-1].sum()
 
     means, quats, log_scales, rgbs = [], [], [], []
-    # with p=0.6 the last primitive is a thin horizontal "canopy" ABOVE the
+    # with p=0.85 the last primitive is a thin horizontal "canopy" ABOVE the
     # cluster: its underside is visible from the input rings but its top is
     # only seen by the OOD cameras — manufacturing exactly the unseen-top
     # artifact class the reference's OOD protocol targets
     # (/root/reference/dataset/GS.py:222-238)
-    has_canopy = bool(rng.uniform() < 0.6)
+    has_canopy = bool(rng.uniform() < 0.85)
     for p in range(n_prim):
         n = int(counts[p])
         canopy = has_canopy and p == n_prim - 1

@@ -149,7 +149,8 @@ def make_splatfacto_data(ds_cfg, n_devices: int):
         cache_steps=ds_cfg.train.cache_steps,
         cache_num_scenes=ds_cfg.train.cache_num_scenes,
         process_index=jax.process_index(), process_count=jax.process_count(),
-        split_across_processes=ds_cfg.train.split_across_processes)
+        split_across_processes=ds_cfg.train.split_across_processes,
+        augment=dict(ds_cfg.train.get("augment", {})) or None)
 
     def train_iter():
         it = train_ds.iter_train()

@@ -252,3 +252,49 @@ def test_scene_cache_eviction_with_unequal_scene_sizes(fake_dataset,
     for idx in [0, 1, 0, 1, 0, 1, 2, 2]:
         ds._cached_scene(idx % len(ds.folders))
     assert len(ds._cache) <= 3
+
+
+def test_corrupt_gaussians_augmentation():
+    """corrupt_gaussians: fresh artifacts per draw, input untouched,
+    floaters appended within capacity, prob=0 is identity."""
+    from splatformer_tpu.data.dataset import corrupt_gaussians
+    rng = np.random.default_rng(0)
+    n, pad_to = 200, 256
+    gs = {
+        "means": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        "scales": rng.normal(-4, 0.5, (n, 3)).astype(np.float32),
+        "quats": np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+        "opacities": rng.normal(1, 0.5, (n, 1)).astype(np.float32),
+        "features_dc": rng.normal(0, 1, (n, 3)).astype(np.float32),
+        "features_rest": rng.normal(0, 0.1, (n, 3, 3)).astype(np.float32),
+    }
+    snapshot = {k: v.copy() for k, v in gs.items()}
+    aug = dict(prob=1.0, noise_means=0.01, noise_scales=0.1,
+               noise_quats=0.05, noise_opacities=0.2, floater_frac=0.3)
+
+    out = corrupt_gaussians(gs, np.random.default_rng(1), aug, pad_to)
+    # input never mutated (scenes are cached and reused)
+    for k in gs:
+        np.testing.assert_array_equal(gs[k], snapshot[k])
+    m = out["means"].shape[0]
+    assert n <= m <= pad_to
+    for k, v in out.items():
+        assert v.shape[0] == m, k
+        assert np.isfinite(v).all(), k
+    # attributes actually jittered
+    assert not np.allclose(out["means"][:n], gs["means"])
+    # floaters sit in the unit cube with upward bias
+    if m > n:
+        fl = out["means"][n:]
+        assert fl.min() >= 0.0 and fl.max() <= 1.0
+        assert fl[:, 2].mean() > 0.35
+
+    # two draws differ (resampling is the point)
+    out2 = corrupt_gaussians(gs, np.random.default_rng(2), aug, pad_to)
+    assert not np.allclose(out["means"][:n], out2["means"][:n])
+
+    # prob=0: identity
+    same = corrupt_gaussians(gs, np.random.default_rng(3),
+                             dict(prob=0.0), pad_to)
+    for k in gs:
+        np.testing.assert_array_equal(same[k], gs[k])
