@@ -106,3 +106,41 @@ def test_run_training_smoke(tiny_cfg, tmp_path):
     assert ckpt_lib.latest_step(os.path.join(out_dir, "checkpoints")) == 3
     state2, *_ = run_training(tiny_cfg, out_dir, max_steps=3)
     assert int(state2.step) == 3
+
+
+def test_periodic_eval_artifacts(tiny_cfg, tmp_path):
+    """Round-3 observability contract: every periodic eval writes the
+    refined-vs-input comparison (metrics_input JSON), appends a run-local
+    eval.csv row with input columns, and best.json + checkpoints_best track
+    the best held-out PSNR."""
+    from splatformer_tpu.training import checkpoints as ckpt_lib
+    from splatformer_tpu.training.loop import run_training
+
+    out_dir = str(tmp_path / "run_evalcsv")
+    run_training(tiny_cfg, out_dir, max_steps=5)
+
+    csv_path = os.path.join(out_dir, "eval.csv")
+    assert os.path.exists(csv_path)
+    with open(csv_path) as f:
+        rows = [l.strip().split(",") for l in f if l.strip()]
+    assert rows[0] == ["dataset", "step", "psnr", "ssim", "lpips",
+                      "input_psnr", "input_ssim", "input_lpips"]
+    assert len(rows) >= 3  # header + evals at steps 2 and 4
+    for row in rows[1:]:
+        assert row[0] == "synthetic"
+        assert np.isfinite(float(row[2])) and np.isfinite(float(row[5]))
+
+    # per-eval input metrics JSON exists and is keyed by scene name
+    mi = glob.glob(os.path.join(out_dir, "eval", "synthetic", "*",
+                                "metrics_input.rank0.json"))
+    assert mi
+    with open(mi[0]) as f:
+        by_scene = json.load(f)
+    assert all(k.startswith("scene") for k in by_scene)
+
+    # best tracking
+    with open(os.path.join(out_dir, "best.json")) as f:
+        best = json.load(f)
+    assert best["step"] in (2, 4) and np.isfinite(best["psnr"])
+    assert ckpt_lib.latest_step(
+        os.path.join(out_dir, "checkpoints_best")) == best["step"]

@@ -18,10 +18,17 @@ COMPILED kernels on the chip, in two parts:
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/validate_tpu.py
 """
+import os
 import sys
 
 import numpy as np
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 FAILS = []
