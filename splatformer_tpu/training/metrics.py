@@ -38,10 +38,15 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11
     win = jnp.tile(win, (1, 1, 1, c)).astype(img1.dtype)         # depthwise
 
     def conv(x):
+        # Precision.HIGHEST: TPU convs otherwise default to bf16, and the
+        # conv(x^2) - mu^2 variance estimate then suffers catastrophic
+        # cancellation — denominators go negative by ~1e-2 (>> C2 = 9e-4)
+        # and the SSIM map explodes (observed per-image SSIM of 7.14 on a
+        # chip eval; PSNR, which has no matmul, stayed sane)
         return jax.lax.conv_general_dilated(
             x, win, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c)
+            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
 
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2

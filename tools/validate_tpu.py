@@ -180,6 +180,21 @@ def main():
         check_robust(f"grad {k}", g_p[k], g_j[k],
                      p999_frac=3e-3, mean_frac=3e-4)
 
+    # on-chip SSIM sanity: the metric's convs force f32 precision (the
+    # chip's default-bf16 matmuls made conv(x^2)-mu^2 go negative and a
+    # per-image SSIM of 7.14 slipped into a real eval); bound SSIM of
+    # rendered image pairs on the chip
+    from splatformer_tpu.training.metrics import ssim as ssim_fn
+    s_self = np.asarray(jax.jit(ssim_fn)(rgb_p, rgb_p))
+    s_pair = np.asarray(jax.jit(ssim_fn)(rgb_p, target))
+    in_bounds = (np.all(np.abs(s_self - 1.0) < 1e-3)
+                 and np.all(s_pair <= 1.001) and np.all(s_pair >= -1.001))
+    if not in_bounds:
+        FAILS.append("ssim bounds")
+    print(f"  {'ok' if in_bounds else 'FAIL':4s} {'ssim bounds':22s} "
+          f"self={s_self.min():.4f}..{s_self.max():.4f} "
+          f"pair={s_pair.min():.4f}..{s_pair.max():.4f}")
+
     # ---- part 3: flash attention vs einsum on the chip (reference
     # enable_flash path, models/pointtransformer_v3.py:121-126). Compiled
     # Mosaic kernel + the head-dim pad to 128, value AND gradient parity.
