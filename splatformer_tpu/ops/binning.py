@@ -123,7 +123,6 @@ def bin_gaussians(
     tile_offset: jnp.ndarray | None = None,
     num_images: int = 1,
     tiers: tuple | None = None,
-    force_general_sort: bool = False,
 ) -> TileBins:
     """Bin (Gaussian, tile) pairs into a depth-sorted per-tile entry list.
 
@@ -154,43 +153,21 @@ def bin_gaussians(
     span_w = jnp.maximum(tmax_x - tmin_x, 1)
     count = jnp.where(alive, proj.num_tiles_hit, 0)
 
-    # Sort-key strategy. gsplat packs (tile << 32 | depth_bits32) for a
-    # 64-bit radix sort; the general path here gets the identical order
-    # from a stable two-key lax.sort over two int32 keys (tile, f32-depth
-    # bitcast) with the Gaussian id as payload. When the bit budget allows
-    # (tile_bits + rank_bits <= 31), a cheaper EXACT scheme replaces the
-    # 3-array sort with ONE packed int32 array: Gaussians are relabeled by
-    # their depth rank (equal depths tie-break by index — the same order
-    # as gsplat's stable radix sort), so (tile << rank_bits | rank) sorts
-    # identically to (tile, depth, id) and every key is distinct (no
-    # stability needed). Costs: two n-sized single-key sorts (rank
-    # construction) + one budget-sized gather (id recovery) — ~3x less
-    # traffic through the dominant candidate sort.
+    # two-key lexicographic sort (tile, full-fidelity f32 depth): gsplat
+    # packs (tile << 32 | depth_bits32) for a 64-bit radix sort; lax.sort
+    # with num_keys=2 gives the identical order from two int32 keys without
+    # int64 emulation, and removes any image-size limit on key bits
     sentinel_tile = jnp.int32(total_tiles + 1)
     depth_k = depth_key_i32(proj.depths)
 
     all_idx = jnp.arange(n, dtype=jnp.int32)
-    rank_bits = max((n - 1).bit_length(), 1)
-    tile_bits = (total_tiles + 1).bit_length()
-    use_packed_rank = (tile_bits + rank_bits <= 31
-                       and not force_general_sort)
-    if use_packed_rank:
-        # depth-sorted gaussian ids, then the inverse permutation (= rank)
-        _, order = jax.lax.sort((depth_k, all_idx), dimension=0,
-                                num_keys=1, is_stable=True)
-        _, rank = jax.lax.sort((order, all_idx), dimension=0, num_keys=1)
-        sort_val = rank
-    else:
-        sort_val = depth_k
 
     def tier_candidates(g_idx, slot_lo: int, slot_hi: int):
-        """Candidate (tile, sortval, gauss) rows for slots [slot_lo,
-        slot_hi) of the given Gaussians — pure gathers/broadcasts.
-        ``g_idx=None`` means all Gaussians in order: arrays are used
-        directly (x[arange(n)] would otherwise compile to a real
-        descriptor-rate gather, ~3.4 ms per array at 400k on v5e).
-        ``sortval`` is the depth rank (packed path) or the f32-depth
-        bitcast key (general path)."""
+        """Candidate (tile, gauss) rows for slots [slot_lo, slot_hi) of the
+        given Gaussians — pure gathers/broadcasts. ``g_idx=None`` means all
+        Gaussians in order: arrays are used directly (x[arange(n)] would
+        otherwise compile to a real descriptor-rate gather, ~3.4 ms per
+        array at 400k on v5e)."""
         slots = jnp.arange(slot_lo, slot_hi, dtype=jnp.int32)[None, :]
         take = (lambda x: x) if g_idx is None else (lambda x: x[g_idx])
         w = take(span_w)[:, None]
@@ -201,14 +178,12 @@ def bin_gaussians(
             tile = tile + take(tile_offset)[:, None]
         valid = slots < take(count)[:, None]
         tile = jnp.where(valid, tile, sentinel_tile)
-        # invalid slots carry sortval 0 in BOTH modes so the key-threshold
-        # compare treats every sentinel candidate identically (they all
-        # share one key at/after the star; distinctness is only needed
-        # among valid candidates)
-        val = jnp.where(valid, take(sort_val)[:, None], 0)
+        # invalid slots carry depth 0 so the (tile, depth) threshold compare
+        # treats every sentinel candidate identically
+        dep = jnp.where(valid, take(depth_k)[:, None], 0)
         gid = jnp.broadcast_to(
             (all_idx if g_idx is None else g_idx)[:, None], tile.shape)
-        return tile.reshape(-1), val.reshape(-1), gid.reshape(-1)
+        return tile.reshape(-1), dep.reshape(-1), gid.reshape(-1)
 
     tiles1, dep1, gid1 = tier_candidates(None, 0, s1)
     parts_t, parts_d, parts_g = [tiles1], [dep1], [gid1]
@@ -240,54 +215,35 @@ def bin_gaussians(
         parts_g.append(gid3)
 
     tiles_c = jnp.concatenate(parts_t)
-    vals_c = jnp.concatenate(parts_d)
-    gidx_c = jnp.concatenate(parts_g)
-    pad = max(max_intersects + 1 - tiles_c.shape[0], 0)
+    deps_c = jnp.concatenate(parts_d)
+    gidx = jnp.concatenate(parts_g)
+    if tiles_c.shape[0] < max_intersects + 1:
+        pad = max_intersects + 1 - tiles_c.shape[0]
+        tiles_c = jnp.concatenate([tiles_c, jnp.full((pad,), sentinel_tile,
+                                                     jnp.int32)])
+        deps_c = jnp.concatenate([deps_c, jnp.zeros((pad,), jnp.int32)])
+        gidx = jnp.concatenate([gidx, jnp.zeros((pad,), jnp.int32)])
 
-    # Key-threshold truncation (both paths): keep entries lexicographically
-    # below the first key past the budget. Unlike position-truncation this
-    # makes the surviving set a *pure function of each candidate's key*, so
-    # exact per-Gaussian surviving counts are computable in candidate space
-    # below (at the cost of also dropping budget-boundary ties — only
-    # reachable when the budget already overflows, which drops entries
-    # either way).
-    if use_packed_rank:
-        packed_c = (tiles_c << rank_bits) | vals_c
-        if pad:
-            packed_c = jnp.concatenate([packed_c, jnp.full(
-                (pad,), jnp.int32((total_tiles + 1) << rank_bits))])
-        packed_s = jax.lax.sort(packed_c, dimension=0)
-        p_star = packed_s[max_intersects]
+    tiles_s, deps_s, gidx = jax.lax.sort(
+        (tiles_c, deps_c, gidx), dimension=0, num_keys=2, is_stable=True)
+    # Key-threshold truncation: keep entries lexicographically below the
+    # first (tile, depth) pair past the budget. Unlike position-truncation
+    # this makes the surviving set a *pure function of each candidate's
+    # key*, so exact per-Gaussian surviving counts are computable in
+    # candidate space below (at the cost of also dropping budget-boundary
+    # ties — only reachable when the budget already overflows, which drops
+    # entries either way).
+    t_star = tiles_s[max_intersects]
+    d_star = deps_s[max_intersects]
 
-        def below_star(tile, val):
-            return ((tile << rank_bits) | val) < p_star
+    def below_star(tile, dep):
+        return (tile < t_star) | ((tile == t_star) & (dep < d_star))
 
-        packed_s = packed_s[:max_intersects]
-        entry_valid = packed_s < p_star
-        rank_part = packed_s & jnp.int32((1 << rank_bits) - 1)
-        gidx = order[rank_part]
-        tile_ids = jnp.where(entry_valid, packed_s >> rank_bits,
-                             total_tiles).astype(jnp.int32)
-    else:
-        if pad:
-            tiles_c = jnp.concatenate(
-                [tiles_c, jnp.full((pad,), sentinel_tile, jnp.int32)])
-            vals_c = jnp.concatenate([vals_c, jnp.zeros((pad,), jnp.int32)])
-            gidx_c = jnp.concatenate([gidx_c, jnp.zeros((pad,), jnp.int32)])
-        tiles_s, deps_s, gidx = jax.lax.sort(
-            (tiles_c, vals_c, gidx_c), dimension=0, num_keys=2,
-            is_stable=True)
-        t_star = tiles_s[max_intersects]
-        d_star = deps_s[max_intersects]
-
-        def below_star(tile, dep):
-            return (tile < t_star) | ((tile == t_star) & (dep < d_star))
-
-        entry_valid = below_star(tiles_s[:max_intersects],
-                                 deps_s[:max_intersects])
-        gidx = gidx[:max_intersects]
-        tile_ids = jnp.where(entry_valid, tiles_s[:max_intersects],
-                             total_tiles).astype(jnp.int32)
+    entry_valid = below_star(tiles_s[:max_intersects],
+                             deps_s[:max_intersects])
+    gidx = gidx[:max_intersects]
+    tile_ids = jnp.where(entry_valid, tiles_s[:max_intersects],
+                         total_tiles).astype(jnp.int32)
 
     tile_start = jnp.searchsorted(
         tile_ids, jnp.arange(total_tiles + 1, dtype=jnp.int32), side="left"

@@ -75,31 +75,3 @@ def test_render_stats_surface_drops(rng):
         lambda s: render_images_stats(s, cams, jnp.zeros(3), cfg2))(scene)
     assert int(stats2["num_dropped"]) > 0
     assert bool(jnp.isfinite(rgb2).all())
-
-
-def test_packed_rank_sort_matches_general_sort(rng):
-    """The packed (tile << rank_bits | depth-rank) single-array sort must
-    produce EXACTLY the general 3-array (tile, depth, id) stable sort's
-    binning: same entries, same per-tile depth order, same counts."""
-    scene = random_scene(rng, 3000, sh_degree=1)
-    hw = 256
-    cam = single_camera(orbit_cameras(1, hw, hw), 0)
-    proj = jax.jit(lambda s: _project(s, cam))(scene)
-    # deliberately tight budget so the key-threshold truncation path is
-    # exercised identically in both modes
-    for budget in (2 ** 14, 2 ** 11):
-        packed = jax.jit(lambda p: bin_gaussians(p, hw, hw, 16, budget, 64))(
-            proj)
-        general = jax.jit(lambda p: bin_gaussians(
-            p, hw, hw, 16, budget, 64, force_general_sort=True))(proj)
-        assert int(packed.num_entries) == int(general.num_entries)
-        assert int(packed.num_dropped) == int(general.num_dropped)
-        np.testing.assert_array_equal(np.asarray(packed.tile_ids),
-                                      np.asarray(general.tile_ids))
-        np.testing.assert_array_equal(np.asarray(packed.tile_start),
-                                      np.asarray(general.tile_start))
-        np.testing.assert_array_equal(np.asarray(packed.gauss_starts),
-                                      np.asarray(general.gauss_starts))
-        ne = int(packed.num_entries)
-        np.testing.assert_array_equal(np.asarray(packed.gauss_idx[:ne]),
-                                      np.asarray(general.gauss_idx[:ne]))
