@@ -160,10 +160,15 @@ def bench_train_step(n, hw, views=4):
     return 1.0 / dt, rf
 
 
-def result_line(mrays, rf_raster, extra_train=None, **cfg):
+def result_line(mrays, rf_raster, extra_train=None, partial=False, **cfg):
     extra = {"rasterizer_roofline": rf_raster, "config": cfg}
     if extra_train:
         extra.update(extra_train)
+    if partial:
+        # two-line stdout contract (ADVICE r3): the eager line is tagged so
+        # a first-line parser can tell it lacks the train-step metrics; the
+        # LAST line is always the authoritative complete result
+        extra["partial"] = True
     return json.dumps({
         "metric": "rasterize_fwd_bwd_mrays_per_s_per_chip",
         "value": round(mrays, 3),
@@ -183,7 +188,7 @@ def main():
     log(f"rasterizer: {mrays:.3f} Mrays/s  roofline: {rf_raster}")
     # eager partial line: a timeout in the train-step section still leaves
     # the headline metric parseable (BENCH_r02 lost everything to rc=124)
-    print(result_line(mrays, rf_raster, **cfg), flush=True)
+    print(result_line(mrays, rf_raster, partial=True, **cfg), flush=True)
 
     iters_s, rf_train = bench_train_step(n_gauss, hw)
     log(f"train step: {iters_s:.3f} iters/s  roofline: {rf_train}")

@@ -19,19 +19,30 @@
 set -e
 cd "$(dirname "$0")/.."
 
-N_TRAIN=${N_TRAIN:-40}
+# 36 matches the documented generation protocol (CLAUDE.md, REFINEMENT.md
+# reproduce section); ADVICE r3: a 40 default left the gate waiting forever
+N_TRAIN=${N_TRAIN:-36}
 N_TEST=${N_TEST:-8}
 STEPS=${STEPS:-12000}
 OUT=${OUT:-output/oodbench_r3}
+MAX_WAIT_S=${MAX_WAIT_S:-14400}
 
 count_done() {
     ls data/oodbench/$1/colmap/*/sparse/0/points3D.bin 2>/dev/null | wc -l
 }
+waited=0
 while [ "$(count_done train)" -lt "$N_TRAIN" ] || \
       [ "$(count_done test)" -lt "$N_TEST" ]; do
+    if [ "$waited" -ge "$MAX_WAIT_S" ]; then
+        echo "ABORT: scenes incomplete after ${MAX_WAIT_S}s" \
+             "(train $(count_done train)/$N_TRAIN," \
+             "test $(count_done test)/$N_TEST)" >&2
+        exit 1
+    fi
     echo "waiting for scenes: train $(count_done train)/$N_TRAIN," \
          "test $(count_done test)/$N_TEST"
     sleep 60
+    waited=$((waited + 60))
 done
 echo "generation complete: $(count_done train) train + $(count_done test) test"
 sleep 30   # let the generator process exit cleanly (single TPU process rule)

@@ -194,6 +194,37 @@ def make_splatfacto_data(ds_cfg, n_devices: int):
 _EVAL_STEP_CACHE: Dict[tuple, Callable] = {}
 
 
+def calibrate_from_data(first_batch, test_factories, rcfg, logger=None):
+    """Auto-size binning budgets from the actual data (VERDICT r3 weak #2):
+    project the first training batch's scenes plus every first-test-set
+    scene, measure tile-count statistics, and return a RasterizeConfig whose
+    static tiers/budget fit the measured workload with margin — so
+    num_dropped reads ~0 for the whole run instead of silently truncating
+    renders at scale."""
+    from splatformer_tpu.ops.calibrate import (calibrate_raster_config,
+                                               calibration_summary)
+    samples = []
+    b = first_batch
+    n_scenes = jnp.asarray(b.scene.means).shape[0]
+    for i in range(n_scenes):
+        samples.append((jax.tree.map(lambda a: jnp.asarray(a)[i], b.scene),
+                        jax.tree.map(lambda a: jnp.asarray(a)[i], b.cameras)))
+    try:
+        first_factory = next(iter(test_factories.values()), None)
+        if first_factory is not None:
+            for _, sb in (first_factory() if callable(first_factory)
+                          else first_factory):
+                samples.append((sb.scene, sb.cameras))
+    except Exception as e:  # calibration must never kill a run
+        if logger:
+            logger.warning("test-set calibration sampling failed: %s", e)
+    out = calibrate_raster_config(samples, rcfg)
+    if logger:
+        logger.info("calibrated raster budgets from %d samples: %s",
+                    len(samples), calibration_summary(out))
+    return out
+
+
 def _cached_eval_step(model, mesh, rcfg, render_input: bool):
     key = (id(model), mesh.devices.size, rcfg, render_input)
     if key not in _EVAL_STEP_CACHE:
@@ -330,6 +361,8 @@ def run_training(cfg, output_dir: str,
             cfg.dataset, n_devices)
 
     first = next(train_iter)
+    if raster_config is None and cfg.train.get("auto_raster_budget", True):
+        rcfg = calibrate_from_data(first, test_factories, rcfg, logger)
     example_scene = jax.tree.map(lambda a: a[0], first.scene)
     params0 = model.init(jax.random.key(cfg.train.seed), example_scene,
                          False)["params"]
@@ -418,9 +451,15 @@ def run_training(cfg, output_dir: str,
     history = []
     best = {"step": -1, "psnr": -float("inf")}
     best_path = os.path.join(output_dir, "best.json")
-    if os.path.exists(best_path):
+    resume_step = int(state.step)
+    if os.path.exists(best_path) and resume_step > 0:
+        # only trust best.json when actually resuming: a fresh run reusing
+        # the directory must not inherit the previous run's best PSNR
+        # (ADVICE r3), which would suppress best-ckpt saving all run
         with open(best_path) as f:
             best = json.load(f)
+    if jax.process_index() == 0:
+        _dedupe_eval_csv(os.path.join(output_dir, "eval.csv"), resume_step)
     for step in range(int(state.step), total * accum):
         opt_step = step // accum
         fn = pretrain_fn if (pretrain_fn is not None
@@ -470,9 +509,9 @@ def run_training(cfg, output_dir: str,
             # PSNR: the final compare pass evaluates the best model, not
             # whatever step training happened to stop at
             first_set = next(iter(results.values()), None)
-            if first_set and first_set[0].get("psnr", 0) > best["psnr"]:
-                best = {"step": opt_step,
-                        "psnr": float(first_set[0]["psnr"])}
+            held_psnr = first_set[0].get("psnr") if first_set else None
+            if held_psnr is not None and held_psnr > best["psnr"]:
+                best = {"step": opt_step, "psnr": float(held_psnr)}
                 ckpt_lib.save_checkpoint(
                     os.path.join(output_dir, "checkpoints_best"), state,
                     opt_step)
@@ -494,6 +533,30 @@ def run_training(cfg, output_dir: str,
         with open(os.path.join(output_dir, "history.json"), "w") as f:
             json.dump(history, f)
     return state, model, eval_model, test_factories, rcfg, lpips_fn
+
+
+def _dedupe_eval_csv(csv_path: str, resume_step: int):
+    """Truncate a stale run-local eval.csv on training start (ADVICE r3):
+    keep only rows with step <= the resumed checkpoint step so re-runs and
+    resumes never feed duplicate/foreign rows into the refinement report."""
+    if not os.path.exists(csv_path):
+        return
+    with open(csv_path) as f:
+        lines = f.readlines()
+    if not lines:
+        return
+    kept = [lines[0]]
+    for line in lines[1:]:
+        parts = line.split(",")
+        try:
+            step = int(parts[1])
+        except (IndexError, ValueError):
+            continue
+        if step <= resume_step:
+            kept.append(line)
+    if len(kept) != len(lines):
+        with open(csv_path, "w") as f:
+            f.writelines(kept)
 
 
 def _run_evals(cfg, eval_model, state, test_factories, mesh, rcfg,
