@@ -23,6 +23,9 @@ def get_config() -> ConfigDict:
     cfg.lpips_loss_weight = 1.0
     cfg.lpips_weights_path = "weights/lpips_vgg.npz"
     cfg.bf16 = True  # TPU-native mixed precision (replaces CUDA AMP)
+    # measure per-Gaussian tile statistics on the first batch + test set and
+    # size binning budgets so num_dropped ~ 0 (ops/calibrate.py)
+    cfg.auto_raster_budget = True
 
     cfg.optimizer = ConfigDict(type_safe=False)
     cfg.optimizer.type = "adam"

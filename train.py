@@ -85,6 +85,8 @@ def main():
     mesh = make_mesh()
     rcfg = RasterizeConfig()
     model = build_feature_predictor(cfg.model)
+    from splatformer_tpu.ops.calibrate import (calibrate_raster_config,
+                                               calibration_summary)
     if cfg.dataset.get("synthetic", False):
         _, test_factories = make_synthetic_data(
             cfg.dataset, mesh.devices.size, rcfg)
@@ -94,6 +96,11 @@ def main():
                                                  mesh.devices.size)
         first = next(iter(test_factories.values()))()
         example = first[0][1].scene
+        if cfg.train.get("auto_raster_budget", True):
+            rcfg = calibrate_raster_config(
+                [(sb.scene, sb.cameras) for _, sb in first], rcfg)
+            logger.info("calibrated raster budgets: %s",
+                        calibration_summary(rcfg))
     variables = model.init(jax.random.key(0), example, False)
     from splatformer_tpu.training.optim import build_optimizer
     from splatformer_tpu.training.train_step import init_state
