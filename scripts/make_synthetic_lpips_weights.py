@@ -32,15 +32,9 @@ _VGG_STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
 
 
 def expected_shapes():
-    shapes = {}
-    in_ch = 3
-    for si, (ch, n_convs) in enumerate(_VGG_STAGES):
-        for ci in range(n_convs):
-            shapes[f"vgg/conv{si}_{ci}/kernel"] = (3, 3, in_ch, ch)
-            shapes[f"vgg/conv{si}_{ci}/bias"] = (ch,)
-            in_ch = ch
-        shapes[f"lin{si}"] = (ch,)
-    return shapes
+    # single source of truth for the layout contract lives next to the model
+    from splatformer_tpu.models.lpips import expected_weight_shapes
+    return expected_weight_shapes()
 
 
 def check(path: str) -> int:

