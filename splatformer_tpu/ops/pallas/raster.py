@@ -223,6 +223,14 @@ def _chunk_quantities(e, A, ox, oy, t_in, done_in, athr, amax, eps, tri,
     # also kills the expanded quadratic's rounding noise at splat centers.
     sig_raw = _dot(A, B)                                    # (P, C)
     sigma = jnp.maximum(sig_raw, 0.0)
+    # NOTE the clamp gets NO derivative gate in the backward: conics are PSD
+    # so true sigma >= 0 everywhere and sig_raw < 0 is pure rounding noise
+    # of the expanded quadratic (|error| ~ |b0| * 2^-24, largest for splats
+    # far from the tile center). Gating on `sig_raw >= 0` made the gradient
+    # depend on that rounding's SIGN at splat-center pixels — the backend-
+    # specific single-term gradient flips of VALIDATE_r03 part 1 (the
+    # oracle's direct quadratic is cancellation-free, so its clamp never
+    # trips and it always takes the full derivative).
     raw = op * jnp.exp(-sigma)
     a = jnp.minimum(amax, raw)
     okm = a >= athr
@@ -243,7 +251,7 @@ def _chunk_quantities(e, A, ox, oy, t_in, done_in, athr, amax, eps, tri,
                     keepdims=True)
     t_out = jnp.where(done_in, t_in, t_out)
     done_out = done_in | (incl[:, -1:] <= eps)
-    return dict(x=x, y=y, sigma=sigma, sig_pos=sig_raw >= 0.0, raw=raw,
+    return dict(x=x, y=y, sigma=sigma, raw=raw,
                 a=a, om=om, excl=excl, vis=vis, contrib=contrib,
                 t_out=t_out, done_out=done_out, c0=c0, c1=c1, c2=c2, op=op)
 
@@ -419,8 +427,12 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
             pre_incl = _dot(terms, tri)   # inclusive lane cumsum on the MXU
             s_after = s_rem - pre_incl
             da = q["excl"] * gc - (s_after + gt_term) / q["om"]
-            # sigma-clamp derivative: zero where the clamp was active
-            active = q["contrib"] & (q["raw"] < amax) & q["sig_pos"]
+            # alpha-clamp derivative: zero where the amax clamp was active.
+            # No sig_raw-sign gate here (see _chunk_quantities NOTE): the
+            # sigma clamp only ever absorbs rounding noise, so the full
+            # derivative is the correct one and gating on the noise's sign
+            # caused backend-dependent term flips (VALIDATE_r03 part 1).
+            active = q["contrib"] & (q["raw"] < amax)
             dsig = jnp.where(active, -q["raw"] * da, 0.0)
 
             # All pixel reductions as TWO moment matmuls: with dx = x - px
