@@ -93,6 +93,52 @@ def write_scene_folder(root: str, name: str, gs: dict,
                    os.path.join(cm_dir, "sparse", "0"), ext=".bin")
 
 
+def sfm_like_seed_points(gt_means: np.ndarray, gt_rgb: np.ndarray,
+                         cams_in, hw: int, n_seed: int, seed: int,
+                         cell: int = 4, depth_tol: float = 0.04):
+    """Subsample GT points visible from the INPUT cameras — a stand-in for
+    the SfM sparse cloud splatfacto seeds from (nerfstudio seeds 3DGS means
+    from COLMAP points3D, which only contain input-view-visible surface).
+
+    Visibility: project every GT point into each input camera, z-buffer at
+    ``cell``-pixel granularity, keep points within ``depth_tol`` of the
+    front surface in at least one view. This keeps the benchmark honest:
+    regions only the OOD cameras see stay unseeded, so the fitted 3DGS
+    still develops the artifacts the refiner is trained to repair.
+    """
+    n = len(gt_means)
+    vis = np.zeros(n, bool)
+    bins = hw // cell
+    for i in range(np.asarray(cams_in.c2w).shape[0]):
+        c2w = np.eye(4)
+        c2w[:3, :4] = np.asarray(cams_in.c2w[i])
+        c2w[0:3, 1:3] *= -1  # OpenGL -> OpenCV
+        w2c = np.linalg.inv(c2w)
+        pc = gt_means @ w2c[:3, :3].T + w2c[:3, 3]
+        z = pc[:, 2]
+        ok = z > 1e-3
+        u = np.asarray(cams_in.fx[i]) * pc[:, 0] / np.maximum(z, 1e-3) \
+            + np.asarray(cams_in.cx[i])
+        v = np.asarray(cams_in.fy[i]) * pc[:, 1] / np.maximum(z, 1e-3) \
+            + np.asarray(cams_in.cy[i])
+        bu = (u // cell).astype(np.int64)
+        bv = (v // cell).astype(np.int64)
+        ok &= (bu >= 0) & (bu < bins) & (bv >= 0) & (bv < bins)
+        flat = np.where(ok, bv * bins + bu, 0)
+        zbuf = np.full(bins * bins, np.inf, np.float32)
+        np.minimum.at(zbuf, flat[ok], z[ok].astype(np.float32))
+        vis |= ok & (z <= zbuf[flat] + depth_tol)
+    idx = np.flatnonzero(vis)
+    rng = np.random.default_rng(seed)
+    if len(idx) == 0:   # degenerate scene: fall back to uniform subsample
+        idx = np.arange(n)
+    take = idx[rng.integers(0, len(idx), size=n_seed)] if len(idx) < n_seed \
+        else rng.choice(idx, size=n_seed, replace=False)
+    jitter = rng.normal(0.0, 0.004, (n_seed, 3))
+    return (gt_means[take] + jitter).astype(np.float32), \
+        np.clip(gt_rgb[take], 0.0, 1.0).astype(np.float32), len(idx)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -115,7 +161,19 @@ def main():
                          "3x8 views left the input 3DGS at 26.5 dB OOD — "
                          "too easy)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seed_points", type=int, default=0,
+                    help="seed the fit from this many input-visible GT "
+                         "points (SfM-style init, like splatfacto from "
+                         "COLMAP points3D); 0 = random init (round-3 "
+                         "protocol). At the 65k scale tier this is what "
+                         "carries scenes to 50k+ live splats")
+    ap.add_argument("--densify_budget_frac", type=float, default=0.05)
     ap.add_argument("--max_intersects", type=int, default=2 ** 17)
+    ap.add_argument("--tiers", default="",
+                    help="comma tier caps 's1,k2,s2,k3' for binning; at the "
+                         "65k scale tier the auto baseline truncates (use "
+                         "e.g. 8,32768,24,4096)")
+    ap.add_argument("--tiles_per_gauss", type=int, default=64)
     ap.add_argument("--log_every", type=int, default=0)
     ap.add_argument("--platform", default="",
                     help="'cpu' forces the host backend (the axon plugin "
@@ -138,13 +196,17 @@ def main():
     from splatformer_tpu.ops.types import RasterizeConfig
     from splatformer_tpu.training import fit_gs
 
-    rcfg = RasterizeConfig(max_intersects=args.max_intersects)
+    tiers = (tuple(int(x) for x in args.tiers.split(","))
+             if args.tiers else None)
+    rcfg = RasterizeConfig(max_intersects=args.max_intersects,
+                           tiers=tiers, tiles_per_gauss=args.tiles_per_gauss)
     render = jax.jit(lambda s, c: render_images(s, c, jnp.zeros(3), rcfg))
 
     fit_cfg = fit_gs.FitConfig(
         steps=args.fit_steps, capacity=args.capacity,
         warmup_steps=200, densify_every=100,
         densify_stop=args.fit_steps * 2 // 3,
+        densify_budget_frac=args.densify_budget_frac,
         reset_opacity_every=0, sh_degree=1,
         sh_degree_interval=max(args.fit_steps // 4, 1),
         lr_means=8e-4, lr_means_final=4e-5)
@@ -175,8 +237,16 @@ def main():
         imgs_in = jnp.clip(render(gt, cams_in)[0], 0.0, 1.0)
         imgs_ood = jnp.clip(render(gt, cams_ood)[0], 0.0, 1.0)
 
+        seed_pts = seed_cols = None
+        n_visible = 0
+        if args.seed_points > 0:
+            seed_pts, seed_cols, n_visible = sfm_like_seed_points(
+                np.asarray(gt.means),
+                np.asarray(gt.features_dc) * 0.28209479177387814 + 0.5,
+                cams_in, args.hw, args.seed_points, seed)
         scene, fit_m = fit_gs.fit_gaussians(
             imgs_in, cams_in, fit_cfg, rcfg, seed=seed,
+            points=seed_pts, colors=seed_cols,
             log_every=args.log_every)
         in_ood = fit_gs.eval_fit(scene, imgs_ood, cams_ood, rcfg)
         in_train = fit_gs.eval_fit(scene, imgs_in, cams_in, rcfg)
@@ -191,6 +261,7 @@ def main():
         row = {"split": split, "scene": name, "n_gauss": int(mask.sum()),
                "fit_psnr_input_views": round(in_train["psnr"], 3),
                "fit_psnr_ood_views": round(in_ood["psnr"], 3),
+               "n_seed_visible": n_visible,
                "wall_s": round(time.time() - t0, 1)}
         summary.append(row)
         print(json.dumps(row), flush=True)
