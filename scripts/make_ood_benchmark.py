@@ -168,6 +168,7 @@ def main():
                          "protocol). At the 65k scale tier this is what "
                          "carries scenes to 50k+ live splats")
     ap.add_argument("--densify_budget_frac", type=float, default=0.05)
+    ap.add_argument("--fit_warmup", type=int, default=200)
     ap.add_argument("--max_intersects", type=int, default=2 ** 17)
     ap.add_argument("--tiers", default="",
                     help="comma tier caps 's1,k2,s2,k3' for binning; at the "
@@ -204,7 +205,7 @@ def main():
 
     fit_cfg = fit_gs.FitConfig(
         steps=args.fit_steps, capacity=args.capacity,
-        warmup_steps=200, densify_every=100,
+        warmup_steps=args.fit_warmup, densify_every=100,
         densify_stop=args.fit_steps * 2 // 3,
         densify_budget_frac=args.densify_budget_frac,
         reset_opacity_every=0, sh_degree=1,

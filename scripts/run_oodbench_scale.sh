@@ -26,8 +26,8 @@ MAX_WAIT_S=${MAX_WAIT_S:-21600}
 if [ "${SKIP_GEN:-0}" != "1" ]; then
 python scripts/make_ood_benchmark.py --out "$DATA" \
     --n_train_scenes "$N_TRAIN" --n_test_scenes "$N_TEST" --hw 256 \
-    --n_gauss 98304 --capacity 65536 --fit_steps 800 \
-    --seed_points 40960 --densify_budget_frac 0.08 \
+    --n_gauss 98304 --capacity 65536 --fit_steps 500 \
+    --seed_points 49152 --densify_budget_frac 0.08 --fit_warmup 100 \
     --max_intersects 524288 --tiers 8,32768,24,4096
 fi
 

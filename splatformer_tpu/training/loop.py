@@ -319,6 +319,19 @@ def evaluation(model, params, batch_stats, scene_list, mesh,
                       for k in in_gs}
             export_ply_for_viewer(out_gs, os.path.join(
                 vdir, "point_cloud/iteration_1/point_cloud.ply"))
+            # interactive input-vs-refined scene viewer (self-contained
+            # HTML; the SIBR-format exports above remain byte-compatible)
+            from splatformer_tpu.utils.webviewer import (
+                export_interactive_viewer)
+            sh_c0 = 0.28209479177387814
+
+            def cloud(gs):
+                return (gs["means"],
+                        np.clip(gs["features_dc"] * sh_c0 + 0.5, 0, 1))
+            export_interactive_viewer(
+                os.path.join(vdir, "viewer.html"),
+                {"input 3DGS": cloud(in_gs), "refined": cloud(out_gs)},
+                title=f"scene {name}: input vs refined")
 
     mc.write_to_file(os.path.join(
         output_dir, f"metrics.rank{jax.process_index()}.json"))

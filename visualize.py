@@ -81,6 +81,13 @@ def main():
                          sh_degree=1)
 
     items = []
+    clouds = {}
+
+    def export_both(fname, coords, colors_u8):
+        export_cloud(os.path.join(args.out, fname), coords, colors_u8)
+        items.append(fname)
+        clouds[fname[:-4]] = (coords, colors_u8)
+
     base_feats = {}
     for algo in args.algos:
         cfg = build_full_config(args.model, args.dataset, "default")
@@ -102,10 +109,8 @@ def main():
             coords = rep["coord"]
             n_heads = len(rep["attn_feats"])
             for hi in range(n_heads):
-                name = f"{algo}_{key}_h{hi}.ply"
-                export_cloud(os.path.join(args.out, name), coords,
-                             pca_color(rep["attn_feats"][hi]))
-                items.append(name)
+                export_both(f"{algo}_{key}_h{hi}.ply", coords,
+                            pca_color(rep["attn_feats"][hi]))
                 if algo == "base":
                     base_feats[(key, hi)] = rep["ori_attn_feats"][hi]
                 elif (key, hi) in base_feats:
@@ -116,16 +121,12 @@ def main():
                     d = (diff / (diff.max() + 1e-9) * 255).astype(np.uint8)
                     dc = np.concatenate([d, np.zeros_like(d), 255 - d],
                                         axis=1)
-                    dname = f"diff_{algo}_{key}_h{hi}.ply"
-                    export_cloud(os.path.join(args.out, dname), coords, dc)
-                    items.append(dname)
+                    export_both(f"diff_{algo}_{key}_h{hi}.ply", coords, dc)
                 if rep["merged_colors"] is not None:
                     mc = (np.clip(rep["merged_colors"][hi], 0, 1)
                           * 255).astype(np.uint8)
                     mco = rep["merged_coords"][hi]
-                    mname = f"merge_{algo}_{key}_h{hi}.ply"
-                    export_cloud(os.path.join(args.out, mname), mco, mc)
-                    items.append(mname)
+                    export_both(f"merge_{algo}_{key}_h{hi}.ply", mco, mc)
             if rep.get("size") is not None:
                 print(f"{algo} {key}: {rep['n_effective_tokens']}"
                       f"/{rep['n_tokens']} effective tokens")
@@ -133,7 +134,14 @@ def main():
     with open(os.path.join(args.out, "index.html"), "w") as f:
         f.write(_HTML.format(items="".join(
             f"<li><a href='{i}'>{i}</a></li>" for i in items)))
-    print(f"wrote {len(items)} clouds + index.html to {args.out}/")
+    # interactive viewer: the reference ships a three.js/pyviz3d export
+    # (visualize.py:322-334); this one is dependency-free and self-contained
+    from splatformer_tpu.utils.webviewer import export_interactive_viewer
+    export_interactive_viewer(
+        os.path.join(args.out, "viewer.html"), clouds,
+        title=f"attention visualization ({args.model})")
+    print(f"wrote {len(items)} clouds + index.html + viewer.html "
+          f"to {args.out}/")
 
 
 if __name__ == "__main__":
