@@ -106,12 +106,14 @@ def main():
     def eval_model(model, mvars, tag):
         if mvars is not None and not mvars.get("batch_stats"):
             mvars = {"params": mvars["params"]}
+        # variables passed as ARGUMENTS (closure constants would bake the
+        # checkpoint into each combo's program — recompile bloat per combo)
         fwd = (None if model is None else
-               jax.jit(lambda s: model.apply(mvars, s, False)[0]))
+               jax.jit(lambda v, s: model.apply(v, s, False)[0]))
         t0 = time.time()
         ps, ss, lp = [], [], []
         for _, sb in scenes:
-            refined = sb.scene if fwd is None else fwd(sb.scene)
+            refined = sb.scene if fwd is None else fwd(mvars, sb.scene)
             rgb, _ = render(refined, sb.cameras.c2w, sb.cameras.fx,
                             sb.cameras.fy, sb.cameras.cx, sb.cameras.cy,
                             sb.background)

@@ -225,7 +225,15 @@ def main():
         if os.path.exists(done_marker):
             print(f"[skip] {split}/{name} exists", flush=True)
             continue
+        tmark = [time.time()]
+
+        def phase(label):
+            now = time.time()
+            print(f"  [{label}: {now - tmark[0]:.1f}s]", flush=True)
+            tmark[0] = now
+
         gt = make_gt_scene(seed, n_gauss=args.n_gauss)
+        phase("gt_scene")
         # input rings stay low: object tops are genuinely unseen, so the
         # fitted 3DGS develops the OOD artifacts the refiner is trained to
         # repair (reference protocol: inputs low-elevation, OOD test at
@@ -237,6 +245,8 @@ def main():
                                 az_jitter=0.3, seed=seed + 1)
         imgs_in = jnp.clip(render(gt, cams_in)[0], 0.0, 1.0)
         imgs_ood = jnp.clip(render(gt, cams_ood)[0], 0.0, 1.0)
+        jax.block_until_ready(imgs_ood)
+        phase("gt_renders")
 
         seed_pts = seed_cols = None
         n_visible = 0
@@ -249,8 +259,10 @@ def main():
             imgs_in, cams_in, fit_cfg, rcfg, seed=seed,
             points=seed_pts, colors=seed_cols,
             log_every=args.log_every)
+        phase("fit")
         in_ood = fit_gs.eval_fit(scene, imgs_ood, cams_ood, rcfg)
         in_train = fit_gs.eval_fit(scene, imgs_in, cams_in, rcfg)
+        phase("eval_fit")
 
         mask = np.asarray(scene.mask)
         gs = {k: np.asarray(getattr(scene, k))[mask]
@@ -259,6 +271,7 @@ def main():
                            np.asarray(imgs_in), np.asarray(imgs_ood),
                            np.asarray(gt.means), np.asarray(
                                gt.features_dc) * 0.28209479177387814 + 0.5)
+        phase("write")
         row = {"split": split, "scene": name, "n_gauss": int(mask.sum()),
                "fit_psnr_input_views": round(in_train["psnr"], 3),
                "fit_psnr_ood_views": round(in_ood["psnr"], 3),

@@ -29,6 +29,7 @@ densify + prune, periodic opacity reset, SH bands unlocked progressively.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -399,14 +400,24 @@ def fit_gaussians(images: jnp.ndarray, cameras: Camera,
     return scene, out
 
 
+@functools.lru_cache(maxsize=8)
+def _eval_render_fn(rcfg: RasterizeConfig):
+    """ONE jitted render program per RasterizeConfig, cameras as ARGUMENTS.
+
+    Closing over the cameras (the old form) baked each scene's camera
+    values into the program as constants — a brand-new XLA program per
+    scene, which through the remote-compile tunnel cost ~240 s/scene and
+    was ~90% of benchmark-generation wall time (round-4 phase timing)."""
+    from splatformer_tpu.ops.render import render_images
+    return jax.jit(lambda s, c, b: render_images(s, c, b, rcfg))
+
+
 def eval_fit(scene: GaussianScene, images: jnp.ndarray, cameras: Camera,
              rcfg: RasterizeConfig = RasterizeConfig(),
              background: Optional[jnp.ndarray] = None) -> Dict[str, float]:
     """PSNR/SSIM of the fitted scene on the given views."""
-    from splatformer_tpu.ops.render import render_images
     background = (jnp.zeros(3) if background is None
                   else jnp.asarray(background))
-    rgb, _ = jax.jit(lambda s: render_images(s, cameras, background, rcfg)
-                     )(scene)
+    rgb, _ = _eval_render_fn(rcfg)(scene, cameras, background)
     return {"psnr": float(jnp.mean(psnr(rgb, images))),
             "ssim": float(jnp.mean(ssim(rgb, images)))}
