@@ -71,23 +71,30 @@ def measure_tile_stats(samples: Iterable[Tuple[GaussianScene, Camera]]
     for scene, cameras in samples:
         c = np.asarray(_tile_counts(scene, cameras))
         counts.append(c)
-    flat = np.concatenate([c.reshape(-1) for c in counts])
-    alive = flat[flat > 0]
-    if alive.size == 0:
-        alive = np.ones((1,), np.int32)
     per_view_hits = np.concatenate(
         [c.sum(axis=1).reshape(-1) for c in counts])
+
+    # quantiles/exceedance per SAMPLE, then worst case over samples: pooled
+    # statistics let easy samples (e.g. unaugmented test scenes) dilute the
+    # hardest one, and the budget must fit every sample
+    def per_sample(f, default):
+        vals = []
+        for c in counts:
+            alive = c[c > 0]
+            if alive.size:
+                vals.append(f(c, alive))
+        return max(vals) if vals else default
+
     return {
-        "max_count": int(alive.max()),
-        "q99": int(np.quantile(alive, 0.99)),
-        "q999": int(np.quantile(alive, 0.999)),
-        "mean_count": float(alive.mean()),
-        "alive_per_view": float(np.mean([
-            (c > 0).sum(axis=1).mean() for c in counts])),
-        # per-view counts of Gaussians whose tile count exceeds a threshold,
-        # as a function we can query when choosing tier slot splits
-        "exceed_per_view": lambda thr: float(max(
-            np.mean([(c > thr).sum(axis=1).mean() for c in counts]), 0.0)),
+        "max_count": int(per_sample(lambda c, a: a.max(), 1)),
+        "q99": int(per_sample(lambda c, a: np.quantile(a, 0.99), 1)),
+        "q999": int(per_sample(lambda c, a: np.quantile(a, 0.999), 1)),
+        "alive_per_view": float(per_sample(
+            lambda c, a: (c > 0).sum(axis=1).mean(), 1.0)),
+        # per-view count of Gaussians whose tile count exceeds a threshold
+        # (worst sample), queried when choosing tier slot splits
+        "exceed_per_view": lambda thr: float(per_sample(
+            lambda c, a: (c > thr).sum(axis=1).max(), 0.0)),
         "max_hits_per_view": int(per_view_hits.max()),
         "mean_hits_per_view": float(per_view_hits.mean()),
     }

@@ -194,7 +194,8 @@ def make_splatfacto_data(ds_cfg, n_devices: int):
 _EVAL_STEP_CACHE: Dict[tuple, Callable] = {}
 
 
-def calibrate_from_data(first_batch, test_factories, rcfg, logger=None):
+def calibrate_from_data(first_batch, test_factories, rcfg, logger=None,
+                        extra_batches=()):
     """Auto-size binning budgets from the actual data (VERDICT r3 weak #2):
     project the first training batch's scenes plus every first-test-set
     scene, measure tile-count statistics, and return a RasterizeConfig whose
@@ -204,11 +205,12 @@ def calibrate_from_data(first_batch, test_factories, rcfg, logger=None):
     from splatformer_tpu.ops.calibrate import (calibrate_raster_config,
                                                calibration_summary)
     samples = []
-    b = first_batch
-    n_scenes = jnp.asarray(b.scene.means).shape[0]
-    for i in range(n_scenes):
-        samples.append((jax.tree.map(lambda a: jnp.asarray(a)[i], b.scene),
-                        jax.tree.map(lambda a: jnp.asarray(a)[i], b.cameras)))
+    for b in (first_batch,) + tuple(extra_batches):
+        n_scenes = jnp.asarray(b.scene.means).shape[0]
+        for i in range(n_scenes):
+            samples.append(
+                (jax.tree.map(lambda a: jnp.asarray(a)[i], b.scene),
+                 jax.tree.map(lambda a: jnp.asarray(a)[i], b.cameras)))
     try:
         first_factory = next(iter(test_factories.values()), None)
         if first_factory is not None:
@@ -375,7 +377,11 @@ def run_training(cfg, output_dir: str,
 
     first = next(train_iter)
     if raster_config is None and cfg.train.get("auto_raster_budget", True):
-        rcfg = calibrate_from_data(first, test_factories, rcfg, logger)
+        # a few extra AUGMENTED batches so the measured tile statistics see
+        # the corruption floaters the training distribution actually renders
+        extra = [next(train_iter) for _ in range(2)]
+        rcfg = calibrate_from_data(first, test_factories, rcfg, logger,
+                                   extra_batches=extra)
     example_scene = jax.tree.map(lambda a: a[0], first.scene)
     params0 = model.init(jax.random.key(cfg.train.seed), example_scene,
                          False)["params"]
