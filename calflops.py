@@ -37,6 +37,11 @@ def main():
                             args.override)
     if args.merge_rate is not None:
         cfg.model.additional_info.r = args.merge_rate
+        if cfg.model.additional_info.get("tome") == "algm":
+            # ALGM's reduction knob is the adjacency-similarity threshold,
+            # not a fixed rate: map the sweep's r onto it (lower threshold
+            # -> more adjacent merges) so the r column stays the sweep key
+            cfg.model.additional_info.threshold = 1.0 - args.merge_rate
     model = build_feature_predictor(cfg.model)
 
     if cfg.dataset.get("synthetic", False):

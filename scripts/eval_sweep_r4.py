@@ -161,6 +161,10 @@ def main():
             info = mcfg.additional_info
             if algo in MERGE_ALGOS:
                 info.r = r
+                if algo == "algm":
+                    # ALGM's knob is the similarity threshold (calflops.py
+                    # uses the same r -> 1-r mapping)
+                    info.threshold = round(1.0 - r, 4)
             elif algo in ("fps", "drop"):
                 # r = fraction removed; the dispatch knob is the KEPT ratio
                 info.downsample_ratio = round(1.0 - r, 4)
