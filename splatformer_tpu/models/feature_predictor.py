@@ -117,6 +117,11 @@ class FeaturePredictor(nn.Module):
         info = self.additional_info or {}
         downsample = info.get("downsample")
         coord = scene.means
+        # the MLP-head concat below uses the ORIGINAL per-point features:
+        # with input downsampling active, `feat` is rebound to the reduced
+        # set while `up(y)` maps logits back to all N points
+        # (reference feature_predictor.py:190-202 semantics)
+        feat_full = feat
         if downsample:
             from splatformer_tpu.ops import downsample as ds
             coord, feat, mask_ds, up = ds.downsample_dispatch(
@@ -151,7 +156,7 @@ class FeaturePredictor(nn.Module):
             y = up(y)  # map reduced logits back to the original points
 
         if self.input_feat_to_mlp:
-            y = jnp.concatenate([y, feat], axis=1)
+            y = jnp.concatenate([y, feat_full], axis=1)
 
         out = {}
         for feature in self.output_features:

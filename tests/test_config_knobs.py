@@ -262,3 +262,32 @@ def test_resume_from_step_offsets_counter(tmp_path):
 def test_prefetch_iterator_order():
     from splatformer_tpu.data.dataset import prefetch_iterator
     assert list(prefetch_iterator(iter(range(20)), depth=3)) == list(range(20))
+
+
+def test_downsample_with_input_feat_to_mlp():
+    """Input downsampling + input_feat_to_mlp (the gin default) must concat
+    the ORIGINAL per-point features with the upsampled logits — caught in
+    round 4 by the sweep smoke test (reduced feat concatenated with
+    full-size y)."""
+    import jax
+    import numpy as np
+    from splatformer_tpu.data.synthetic import random_scene
+    from splatformer_tpu.models.feature_predictor import FeaturePredictor
+
+    scene = random_scene(np.random.default_rng(0), 512, sh_degree=1)
+    for method, knobs in (("fps", {"downsample_ratio": 0.5}),
+                          ("voxel", {"voxel_size": 0.05}),
+                          ("random", {"downsample_ratio": 0.5})):
+        m = FeaturePredictor(
+            backbone_type="PT", sh_degree=1, grid_resolution=64,
+            res_feature_activation={"means": "tanh"},
+            input_feat_to_mlp=True,
+            additional_info={"downsample": method, **knobs},
+            backbone_kwargs=dict(
+                enc_depths=(1,), enc_channels=(16,), enc_num_head=(2,),
+                enc_patch_size=(16,), dec_depths=(), dec_channels=(),
+                dec_num_head=(), dec_patch_size=(), stride=(),
+                drop_path=0.0, pool_capacity_factors=()))
+        v = m.init(jax.random.key(0), scene, False)
+        refined, _ = m.apply(v, scene, False)
+        assert refined.means.shape == scene.means.shape, method
