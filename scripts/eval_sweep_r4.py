@@ -171,7 +171,22 @@ def main():
             elif algo == "voxel":
                 # larger voxels remove more points; map r onto the voxel
                 # edge so r=0.5 doubles the gin default edge length
-                info.voxel_size = round(0.0075 * (1.0 + 2.0 * r), 6)
+                vs = round(0.0075 * (1.0 + 2.0 * r), 6)
+                info.voxel_size = vs
+                # capacity = exact occupied-voxel max over the test scenes
+                # (host numpy): the r4 sweep's fixed 0.5 factor overflowed
+                # at small voxel sizes and silently waste-bucketed points
+                # (zero backbone features -> the non-monotone voxel rows)
+                mx = 0
+                for _, sb in scenes:
+                    mv = np.asarray(sb.scene.means)[
+                        np.asarray(sb.scene.valid_mask())]
+                    v = np.floor(mv / vs).astype(np.int64)
+                    key = v[:, 0] * 1_000_000 + v[:, 1] * 1_000 + v[:, 2]
+                    mx = max(mx, len(np.unique(key)))
+                info.voxel_capacity_factor = min(1.0, (mx + 256) / args.pad)
+                print(f"voxel r={r}: max occupied {mx}, capacity_factor "
+                      f"{info.voxel_capacity_factor:.3f}", flush=True)
             model = build_feature_predictor(mcfg)
             mvars = {"params": params, "batch_stats": batch_stats}
             try:

@@ -30,7 +30,14 @@ def nearest_idx(queries: jnp.ndarray, refs: jnp.ndarray,
     big = jnp.where(ref_mask, 0.0, jnp.inf)
 
     def one_chunk(q):
-        d = (jnp.sum(q * q, axis=1)[:, None] - 2.0 * q @ refs.T
+        # HIGHEST: the chip's default-bf16 matmul carries ~4e-3 absolute
+        # error on [0,1]-normalized coords — larger than the ~1e-4 squared
+        # spacing of a 16k-point cloud, which randomized every nearest-
+        # centroid assignment on TPU (the r4 sweep's anomalous flat fps
+        # rows: 18.3 dB at 10% reduction; correct on CPU, wrong on chip)
+        d = (jnp.sum(q * q, axis=1)[:, None]
+             - 2.0 * jnp.matmul(q, refs.T,
+                                precision=jax.lax.Precision.HIGHEST)
              + ref2[None, :] + big[None, :])
         return jnp.argmin(d, axis=1).astype(jnp.int32)
 

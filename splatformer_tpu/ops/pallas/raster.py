@@ -365,7 +365,8 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
     # exactly-zero gradient rows, and the sequential TPU grid plus the
     # end-of-program store drain order the seam writes.
     def bwd_kernel(meta_ref, packed_ref, g_out_ref, out_saved_ref, zeros_ref,
-                   dout_ref, ebuf, rbuf, obuf, sbuf, sem_in, sem_rd, sem_out):
+                   dout_ref, ebuf, rbuf, obuf, gbuf, abuf, sbuf,
+                   sem_in, sem_rd, sem_go, sem_out):
         t = pl.program_id(0)
         start = meta_ref[t]
         end = meta_ref[t + 1]
@@ -376,12 +377,32 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         A, AT, ox, oy = _pixel_bases(ts, tiles_x, jax.lax.rem(t, tiles_img))
         tri = _tri_inclusive(chunk)
-        g_rgb = g_out_ref[0][:, 0:3]                   # (p, 3)
-        gT = g_out_ref[0][:, 3:4]
-        g_rgb_t = jnp.transpose(g_rgb)                 # (3, p)
-        acc = out_saved_ref[0]                         # (p, 4)
-        s_total = jnp.sum(g_rgb * acc[:, 0:3], axis=1, keepdims=True)
-        gt_term = gT * acc[:, 3:4]                     # (p, 1)
+        # g_out / out arrive as WHOLE HBM operands, transposed to
+        # (4, num_tiles * p) so the per-tile window is a 128-aligned lane
+        # slice, and are DMA'd per tile. The (1, p, 4) VMEM-blocked
+        # BlockSpec slicing used through round 4 delivered wrong data to
+        # this kernel when the cotangent arrived fused through the image
+        # transpose chain (VALIDATE_r04: bit-identical values, wrong
+        # gradient — a layout inconsistency at the custom-call boundary).
+        # HBM operands are materialized and passed whole, bypassing the
+        # blocked slicing entirely.
+        cp_g = pltpu.make_async_copy(
+            g_out_ref.at[:, pl.ds(pl.multiple_of(t * p, chunk), p)],
+            gbuf, sem_go.at[0])
+        cp_a = pltpu.make_async_copy(
+            out_saved_ref.at[:, pl.ds(pl.multiple_of(t * p, chunk), p)],
+            abuf, sem_go.at[1])
+        cp_g.start()
+        cp_a.start()
+        cp_g.wait()
+        cp_a.wait()
+        g_rgb_t = gbuf[0:3, :]                         # (3, p)
+        prod = gbuf[:, :] * abuf[:, :]                 # (4, p) g . acc
+        sg = jnp.concatenate(
+            [jnp.sum(prod[0:3], axis=0, keepdims=True), prod[3:4]], axis=0)
+        cols = jnp.transpose(sg)                       # (p, 2)
+        s_total = cols[:, 0:1]
+        gt_term = cols[:, 1:2]
         # state columns: [T, done, s_rem, ...]
         sbuf[:, :] = jnp.concatenate(
             [jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
@@ -421,7 +442,7 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
                                   tri, lane_valid)
             # gc(p, c) = sum_ch g_ch(p) color_ch(c): one MXU matmul
             gc = jax.lax.dot_general(
-                g_rgb, e[6:9, :], (((1,), (0,)), ((), ())),
+                g_rgb_t, e[6:9, :], (((0,), (0,)), ((), ())),
                 precision=_HIGHEST, preferred_element_type=jnp.float32)
             terms = jnp.where(q["contrib"], gc * q["vis"], 0.0)
             pre_incl = _dot(terms, tri)   # inclusive lane cumsum on the MXU
@@ -515,19 +536,20 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, p, 4), lambda t, s: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 4), lambda t, s: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
                         pltpu.VMEM((PACK_W, chunk), jnp.float32),
                         pltpu.VMEM((2, PACK_W, chunk), jnp.float32),
+                        pltpu.VMEM((4, p), jnp.float32),
+                        pltpu.VMEM((4, p), jnp.float32),
                         pltpu.VMEM((p, 8), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))])
     bwd_call = pl.pallas_call(
         bwd_kernel,
@@ -553,7 +575,11 @@ def _make_calls(img_height: int, img_width: int, tile_size: int,
         packed_t, tile_start, out, kstop = res
         meta = jnp.concatenate([tile_start, kstop])
         zeros = jnp.zeros((PACK_W, budget), jnp.float32)
-        (d_packed,) = bwd_call(meta, packed_t, g_out, out, zeros)
+        # (T, p, 4) -> (4, T * p): lane-aligned per-tile windows for the
+        # kernel's HBM DMA (see bwd_kernel comment)
+        g2 = jnp.transpose(g_out.reshape(num_tiles * p, 4))
+        o2 = jnp.transpose(out.reshape(num_tiles * p, 4))
+        (d_packed,) = bwd_call(meta, packed_t, g2, o2, zeros)
         d_ts = np.zeros(tile_start.shape, jax.dtypes.float0)
         return d_packed, d_ts
 
