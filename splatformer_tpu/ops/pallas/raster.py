@@ -616,15 +616,19 @@ def composite_packed(
     out = composite(packed_t, tile_start.astype(jnp.int32))
     ts = tile_size
     v = num_images
-    rgb = (out[:, :, 0:3]
-           .reshape(v, tiles_y, tiles_x, ts, ts, 3)
+    # ONE untile transpose of the full 4-channel tensor, channels split at
+    # the image level. Splitting FIRST (separate rgb and T transpose
+    # chains whose cotangents concat back into the minor-dim-4 tensor)
+    # triggered an XLA-TPU miscompile of the fused VJP on the axon stack:
+    # the T-channel cotangent came back wrong for 957/1024 pixels while
+    # rgb's was exact — the entire two-round part-1 "gradient flip"
+    # (VALIDATE_r05.md; repro preserved in tools/diag_part1_witness.py).
+    img = (out.reshape(v, tiles_y, tiles_x, ts, ts, 4)
            .transpose(0, 1, 3, 2, 4, 5)
-           .reshape(v, tiles_y * ts, tiles_x * ts, 3))
-    t_img = (out[:, :, 3].reshape(v, tiles_y, tiles_x, ts, ts)
-             .transpose(0, 1, 3, 2, 4)
-             .reshape(v, tiles_y * ts, tiles_x * ts))
-    rgb = rgb[:, :img_height, :img_width]
-    t_img = t_img[:, :img_height, :img_width]
+           .reshape(v, tiles_y * ts, tiles_x * ts, 4))
+    img = img[:, :img_height, :img_width]
+    rgb = img[..., 0:3]
+    t_img = img[..., 3]
     rgb = rgb + t_img[..., None] * background[None, None, None, :]
     return rgb, 1.0 - t_img
 
