@@ -18,6 +18,11 @@ def main():
     p.add_argument("--num_scenes", type=int, default=10)
     p.add_argument("--csv", default="gflops.csv")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--ckpt", default="",
+                   help="training run dir; restores params so the "
+                        "data-dependent effective-token stats are measured "
+                        "on the trained model (gflops are shape-only and "
+                        "unaffected)")
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args()
     if args.cpu:
@@ -56,6 +61,20 @@ def main():
                   next(iter(test_factories.values()))()[:args.num_scenes]]
 
     variables = model.init(jax.random.key(0), scenes[0], False)
+    if args.ckpt:
+        from splatformer_tpu.training import checkpoints as ckpt_lib
+        from splatformer_tpu.training.optim import build_optimizer
+        from splatformer_tpu.training.train_step import init_state
+        tx = build_optimizer(variables["params"], lr_dict={"base": 1e-4})
+        state = init_state(model, tx, scenes[0], jax.random.key(0))
+        best = os.path.join(args.ckpt, "checkpoints_best")
+        ck = best if ckpt_lib.latest_step(best) is not None else \
+            os.path.join(args.ckpt, "checkpoints")
+        state = ckpt_lib.restore_checkpoint(ck, state)
+        print(f"restored {ck} step {int(state.step)}")
+        variables = {"params": state.params,
+                     **({"batch_stats": state.batch_stats}
+                        if state.batch_stats else {})}
     fwd = jax.jit(lambda s: model.apply(variables, s, False))
 
     attn_g, mlp_g = [], []
@@ -87,6 +106,33 @@ def main():
         if new:
             f.write("gflops,algo,r\n")
         f.write(f"{attn_avg},{algo},{r}\n")
+
+    # companion effective-token measurement (VERDICT r4 item 8): for the
+    # data-dependent reducers (ALGM especially, whose static-shape gflops
+    # rows equal base by design) the actual lever is how many tokens stay
+    # live after merging — measure it with the attention replay and record
+    # it next to the gflops rows.
+    from splatformer_tpu.ops import merging as merging_ops
+    if algo != "base" and info.get("tome") in merging_ops.MERGE_MODES \
+            and float(info.get("r", 0.0) or 0.0) > 0.0:
+        from splatformer_tpu.utils.attn_replay import replay_model
+        patch = (model.backbone_kwargs or {}).get("patch_size", 128)
+        tot, eff = 0, 0
+        res = replay_model(model, variables, scenes[0],
+                           model.backbone_kwargs or {}, patch,
+                           dict(info))
+        for path, rec in res.items():
+            tot += rec["n_tokens"]
+            eff += rec["n_effective_tokens"]
+        ratio = eff / max(tot, 1)
+        print(f"effective tokens: {eff}/{tot} = {ratio:.3f} "
+              f"({len(res)} blocks)")
+        tcsv = os.path.splitext(args.csv)[0] + "_tokens.csv"
+        tnew = not os.path.exists(tcsv)
+        with open(tcsv, "a") as f:
+            if tnew:
+                f.write("algo,r,n_tokens,n_effective_tokens,ratio\n")
+            f.write(f"{algo},{r},{tot},{eff},{ratio:.4f}\n")
 
 
 if __name__ == "__main__":
