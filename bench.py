@@ -58,18 +58,29 @@ def roofline(compiled, dt, peak_flops):
     fused = fused_hbm_bytes(compiled) or byts
     comp_t = flops / peak_flops
     mem_t = fused / PEAK_HBM
-    return {
+    util_raw = fused / dt / PEAK_HBM
+    out = {
         "gflops_per_step": round(flops / 1e9, 2),
         "hbm_gb_logical": round(byts / 1e9, 3),
         "hbm_gb_fused": round(fused / 1e9, 3),
         "achieved_tflops": round(flops / dt / 1e12, 2),
         "achieved_hbm_gbps": round(fused / dt / 1e9, 1),
         "mfu": round(flops / dt / peak_flops, 4),
-        "hbm_utilization": round(fused / dt / PEAK_HBM, 4),
+        "hbm_utilization": round(min(util_raw, 1.0), 4),
         "bound": "memory" if mem_t > comp_t else "compute",
         "speed_of_light_ms": round(max(mem_t, comp_t) * 1e3, 2),
         "measured_ms": round(dt * 1e3, 2),
     }
+    if util_raw > 1.0:
+        # implied bandwidth above the physical peak proves the byte model
+        # OVERCOUNTS (XLA keeps some inter-op buffers VMEM-resident, which
+        # no HLO-text model can see): the step runs at or inside its real
+        # memory roofline; report the raw figure for transparency
+        out["hbm_utilization_raw"] = round(util_raw, 4)
+        out["byte_model"] = ("overcounts: implied bandwidth exceeds the "
+                             "physical peak; step is at/inside the memory "
+                             "roofline")
+    return out
 
 
 def bench_rasterizer(n_gauss, hw, views=4):

@@ -25,6 +25,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 MERGE_ALGOS = ("tome", "pitome", "tofu", "prune", "patch", "wpatch", "algm")
+# ToMeSD-family analogs (ops/merging.py MERGE_MODES; VERDICT r4 missing #3:
+# implemented but never swept) — no dedicated config files, they ride the
+# tome config with additional_info.tome overridden
+TOMESD_ALGOS = ("random_patch", "progressive", "important_patch")
 DOWN_ALGOS = ("fps", "voxel", "drop")
 RATES = (0.1, 0.3, 0.5, 0.7, 0.9)
 
@@ -156,10 +160,15 @@ def main():
             if (algo, str(r)) in done:
                 print(f"[skip] {algo} r={r}", flush=True)
                 continue
-            mcfg = build_full_config(f"ptv3_{algo}", args.dataset,
+            base_cfg_name = (f"ptv3_{algo}" if algo not in TOMESD_ALGOS
+                             else "ptv3_tome")
+            mcfg = build_full_config(base_cfg_name, args.dataset,
                                      "default", overrides).model
             info = mcfg.additional_info
-            if algo in MERGE_ALGOS:
+            if algo in TOMESD_ALGOS:
+                info.tome = algo
+                info.r = r
+            elif algo in MERGE_ALGOS:
                 info.r = r
                 if algo == "algm":
                     # ALGM's knob is the similarity threshold (calflops.py

@@ -106,7 +106,19 @@ def hbm_bytes(hlo_text: str) -> Dict[str, float]:
             nm = om.group(1).lstrip("%")
             if nm in shapes:
                 in_b += shapes[nm]
-        traffic += out_b + in_b
+        passes = 1
+        if op == "sort":
+            # one HLO instruction, but a multi-pass algorithm: charge
+            # ~log2(n) full passes over the operands (merge-sort-style
+            # HBM traffic; the comparator-network stage count is higher
+            # still, which is why sorts run below even this bound)
+            m2 = _SHAPE_RE.search(type_str)
+            if m2 and m2.group(2):
+                n = 1
+                for d in m2.group(2).split(","):
+                    n *= int(d)
+                passes = max(1, int(n).bit_length() - 1)
+        traffic += (out_b + in_b) * passes
         count += 1
         if depth <= 0 and ln.strip().endswith("}"):
             break
