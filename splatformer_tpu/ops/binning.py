@@ -148,7 +148,7 @@ def bin_gaussians(
     k3 = min(t3k * num_images, n)
 
     tmin_x, tmin_y, tmax_x, tmax_y = tile_bbox(
-        proj.xys, proj.radii, tile_size, tiles_x, tiles_y)
+        proj.xys, proj.radii_xy, tile_size, tiles_x, tiles_y)
     alive = proj.num_tiles_hit > 0
     span_w = jnp.maximum(tmax_x - tmin_x, 1)
     count = jnp.where(alive, proj.num_tiles_hit, 0)

@@ -35,6 +35,12 @@ class ProjectedGaussians(NamedTuple):
     compensation: jnp.ndarray  # (N,) blur compensation factor
     num_tiles_hit: jnp.ndarray  # (N,) int32
     cov3d: jnp.ndarray        # (N, 6) packed upper-triangular 3D covariance
+    # per-axis pixel extents of the culling region (rx, ry), f32. With
+    # opacity-aware extents these bound the EXACT set {alpha >= athr}
+    # (outside it the compositor's alpha-threshold gate drops the splat
+    # anyway), so tile bboxes built from them are lossless and tighter
+    # than the 3-sigma circle for anisotropic or low-opacity splats.
+    radii_xy: jnp.ndarray     # (N, 2)
 
 
 def scale_quat_to_cov3d(scales: jnp.ndarray, quats: jnp.ndarray,
@@ -66,9 +72,22 @@ def project_gaussians(
     glob_scale: float = 1.0,
     clip_thresh: float = 0.01,
     mask: jnp.ndarray | None = None,
+    opacities: jnp.ndarray | None = None,
+    alpha_threshold: float = 1.0 / 255.0,
 ) -> ProjectedGaussians:
     """Project N Gaussians to screen space. ``viewmat`` is the (4,4) or (3,4)
-    OpenCV world-to-camera matrix. Padded/masked Gaussians get radius 0."""
+    OpenCV world-to-camera matrix. Padded/masked Gaussians get radius 0.
+
+    With ``opacities`` (post-sigmoid, (N,)) the culling extent becomes
+    opacity-aware: alpha = op * exp(-sigma) crosses the compositor's
+    ``alpha_threshold`` gate at sigma = ln(op/athr), i.e. at
+    k = sqrt(2 ln(op/athr)) standard deviations — never more than the
+    gsplat 3-sigma default (which corresponds to op/athr = e^4.5 ~ 90) and
+    much less for dim splats; splats with op <= athr can never composite
+    and cull entirely. This is EXACT with respect to the alpha gate: no
+    pixel whose alpha reaches the threshold lies outside the extent, so
+    images and gradients are unchanged while tile spans (and with them
+    binning-sort survivors and compositor walk lengths) shrink."""
     dtype = means.dtype
     R_view = viewmat[:3, :3]
     t_view = viewmat[:3, 3]
@@ -127,12 +146,35 @@ def project_gaussians(
     inv_det = 1.0 / det_safe
     conic = jnp.stack([b11 * inv_det, -v01 * inv_det, b00 * inv_det], axis=-1)
 
-    # radius = ceil(3 * sqrt(max eigenvalue))
+    # extent multiplier: 3 sigma (gsplat), or the exact alpha-gate crossing
+    # sqrt(2 ln(op/athr)) when opacities are provided (see docstring)
+    if opacities is None:
+        # worst case over opacities <= 1: exact for any splat
+        import math
+        k_max = math.sqrt(2.0 * math.log(1.0 / alpha_threshold))
+        k_ext = jnp.full(tz.shape, k_max, dtype)
+    else:
+        # exact, UNclamped: at opacity 1 this is sqrt(2 ln 255) ~ 3.33 —
+        # slightly wider than gsplat's hard 3-sigma crop (which can drop
+        # above-threshold pixels of bright splats), far tighter for dim
+        # ones, and zero (full cull) at op <= athr
+        ratio = opacities / alpha_threshold
+        k_ext = jnp.where(
+            ratio > 1.0,
+            jnp.sqrt(2.0 * jnp.log(jnp.maximum(ratio, 1.0))),
+            0.0)
+
+    # radius = ceil(k * sqrt(max eigenvalue))
     bmid = 0.5 * (b00 + b11)
     disc = jnp.sqrt(jnp.maximum(0.1, bmid * bmid - det_safe))
     v1 = bmid + disc
     v2 = bmid - disc
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(0.0, jnp.maximum(v1, v2))))
+    radius_f = jnp.ceil(
+        k_ext * jnp.sqrt(jnp.maximum(0.0, jnp.maximum(v1, v2))))
+    # per-axis AABB of the level set {sigma <= k^2/2}: the extremal x on
+    # that ellipse is exactly k * sqrt(cov_xx) (blurred covariance diag)
+    rx = jnp.ceil(k_ext * jnp.sqrt(jnp.maximum(0.0, b00)))
+    ry = jnp.ceil(k_ext * jnp.sqrt(jnp.maximum(0.0, b11)))
 
     # Pixel-space center (integer-pixel convention, matching gsplat v0.1.x /
     # Inria: pixel (i, j) samples at coordinate (j, i)).
@@ -142,14 +184,16 @@ def project_gaussians(
 
     valid = valid & det_ok
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    rx = jnp.where(valid, rx, 0.0)
+    ry = jnp.where(valid, ry, 0.0)
 
-    # Tile span (gsplat get_tile_bbox): bbox in tile units, clamped to grid.
+    # Tile span (gsplat get_tile_bbox with per-axis extents), clamped.
     tiles_x = (img_width + tile_size - 1) // tile_size
     tiles_y = (img_height + tile_size - 1) // tile_size
-    tmin_x = jnp.clip(((xys[:, 0] - radius_f) / tile_size).astype(jnp.int32), 0, tiles_x)
-    tmax_x = jnp.clip(((xys[:, 0] + radius_f) / tile_size + 1.0).astype(jnp.int32), 0, tiles_x)
-    tmin_y = jnp.clip(((xys[:, 1] - radius_f) / tile_size).astype(jnp.int32), 0, tiles_y)
-    tmax_y = jnp.clip(((xys[:, 1] + radius_f) / tile_size + 1.0).astype(jnp.int32), 0, tiles_y)
+    tmin_x = jnp.clip(((xys[:, 0] - rx) / tile_size).astype(jnp.int32), 0, tiles_x)
+    tmax_x = jnp.clip(((xys[:, 0] + rx) / tile_size + 1.0).astype(jnp.int32), 0, tiles_x)
+    tmin_y = jnp.clip(((xys[:, 1] - ry) / tile_size).astype(jnp.int32), 0, tiles_y)
+    tmax_y = jnp.clip(((xys[:, 1] + ry) / tile_size + 1.0).astype(jnp.int32), 0, tiles_y)
     span = (tmax_x - tmin_x) * (tmax_y - tmin_y)
     num_tiles_hit = jnp.where(radii > 0, span, 0).astype(jnp.int32)
 
@@ -157,16 +201,22 @@ def project_gaussians(
     return ProjectedGaussians(
         xys=xys, depths=depths, radii=radii,
         conics=conic, compensation=compensation,
-        num_tiles_hit=num_tiles_hit, cov3d=cov3d)
+        num_tiles_hit=num_tiles_hit, cov3d=cov3d,
+        radii_xy=jnp.stack([rx, ry], axis=-1))
 
 
 def tile_bbox(xys: jnp.ndarray, radii: jnp.ndarray, tile_size: int,
               tiles_x: int, tiles_y: int):
     """Per-Gaussian tile bbox (tmin_x, tmin_y, tmax_x, tmax_y), exclusive max,
-    identical to the span computation in project_gaussians."""
-    radius_f = radii.astype(xys.dtype)
-    tmin_x = jnp.clip(((xys[:, 0] - radius_f) / tile_size).astype(jnp.int32), 0, tiles_x)
-    tmax_x = jnp.clip(((xys[:, 0] + radius_f) / tile_size + 1.0).astype(jnp.int32), 0, tiles_x)
-    tmin_y = jnp.clip(((xys[:, 1] - radius_f) / tile_size).astype(jnp.int32), 0, tiles_y)
-    tmax_y = jnp.clip(((xys[:, 1] + radius_f) / tile_size + 1.0).astype(jnp.int32), 0, tiles_y)
+    identical to the span computation in project_gaussians. ``radii`` is
+    either the scalar (N,) pixel radius or the per-axis (N, 2) extents."""
+    r = radii.astype(xys.dtype)
+    if r.ndim == 2:
+        rx, ry = r[:, 0], r[:, 1]
+    else:
+        rx = ry = r
+    tmin_x = jnp.clip(((xys[:, 0] - rx) / tile_size).astype(jnp.int32), 0, tiles_x)
+    tmax_x = jnp.clip(((xys[:, 0] + rx) / tile_size + 1.0).astype(jnp.int32), 0, tiles_x)
+    tmin_y = jnp.clip(((xys[:, 1] - ry) / tile_size).astype(jnp.int32), 0, tiles_y)
+    tmax_y = jnp.clip(((xys[:, 1] + ry) / tile_size + 1.0).astype(jnp.int32), 0, tiles_y)
     return tmin_x, tmin_y, tmax_x, tmax_y

@@ -87,6 +87,8 @@ def _render_chunked(
         tile_size=config.tile_size,
         clip_thresh=config.clip_thresh,
         mask=mask,
+        opacities=opacities,
+        alpha_threshold=config.alpha_threshold,
     )
     bins = bin_gaussians(
         proj, camera.height, camera.width, config.tile_size,
@@ -138,7 +140,8 @@ def _render_images_pallas(
         proj = project_gaussians(
             act["means"], act["scales"], act["quats"], viewmat,
             fx, fy, cx, cy, height, width,
-            tile_size=ts, clip_thresh=config.clip_thresh, mask=mask)
+            tile_size=ts, clip_thresh=config.clip_thresh, mask=mask,
+            opacities=opacities, alpha_threshold=config.alpha_threshold)
         pgauss_t = pack_entries_t(proj.xys, proj.conics, colors, opacities)
         return proj, pgauss_t
 

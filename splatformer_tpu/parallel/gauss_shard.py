@@ -93,7 +93,8 @@ def make_gauss_shard_body(
         proj = project_gaussians(
             act["means"], act["scales"], act["quats"], viewmat,
             fx, fy, cx, cy, height, width,
-            tile_size=ts, clip_thresh=config.clip_thresh, mask=mask)
+            tile_size=ts, clip_thresh=config.clip_thresh, mask=mask,
+            opacities=opacities, alpha_threshold=config.alpha_threshold)
 
         bins = bin_gaussians(proj, height, width, ts, i_loc,
                              config.tiles_per_gauss)

@@ -89,7 +89,13 @@ def test_projection_centered_gaussian():
     var = (fx * s / z) ** 2 + 0.3
     np.testing.assert_allclose(np.asarray(proj.conics[0]),
                                [1.0 / var, 0.0, 1.0 / var], rtol=1e-4)
-    assert int(proj.radii[0]) == int(np.ceil(3 * np.sqrt(var)))
+    # extent = worst-case alpha-gate crossing sqrt(2 ln(1/athr)) ~ 3.33
+    # sigma (projection.py k_ext; exact wrt the compositor's alpha gate,
+    # replacing gsplat's hard 3-sigma crop)
+    k = np.sqrt(2.0 * np.log(255.0))
+    assert int(proj.radii[0]) == int(np.ceil(k * np.sqrt(var)))
+    np.testing.assert_allclose(np.asarray(proj.radii_xy[0]),
+                               np.ceil(k * np.sqrt(var)))
     comp_expect = np.sqrt(((fx * s / z) ** 2) ** 2 / var**2)
     np.testing.assert_allclose(float(proj.compensation[0]), comp_expect,
                                rtol=1e-5)
