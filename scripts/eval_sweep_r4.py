@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--pad", type=int, default=16384)
     ap.add_argument("--csv", default="eval.csv")
     ap.add_argument("--rates", default=",".join(str(r) for r in RATES))
+    ap.add_argument("--max_scenes", type=int, default=0,
+                    help="cap the test-scene count (0 = all); the full-"
+                         "scale 65k-pad pass uses 8 to bound eval cost")
     ap.add_argument("--algos",
                     default=",".join(MERGE_ALGOS + DOWN_ALGOS))
     ap.add_argument("--platform", default="")
@@ -73,6 +76,8 @@ def main():
     _, test_factories = make_splatfacto_data(cfg.dataset, 1)
     name0 = next(iter(test_factories))
     scenes = test_factories[name0]()
+    if args.max_scenes:
+        scenes = scenes[:args.max_scenes]
     print(f"{len(scenes)} test scenes at pad {args.pad}", flush=True)
 
     rcfg = calibrate_raster_config(
