@@ -8,6 +8,12 @@ set -e
 cd "$(dirname "$0")/.."
 RUN=${RUN:-output/oodbench_scale_r5}
 
+echo "=== final eval from best checkpoint (input comparison) ==="
+python train.py --dataset oodbench_scale --model ptv3_base \
+    --output_dir "$RUN" \
+    --only_eval --compare_with_input --eval_subdir test \
+    --override train.total_steps=10000
+
 echo "=== sweep: downsampling (corrected fps/voxel/drop) ==="
 python scripts/eval_sweep_r4.py --run "$RUN" --dataset oodbench_scale \
     --pad 16384 --algos fps,voxel,drop --rates 0.1,0.3,0.5,0.7,0.9
