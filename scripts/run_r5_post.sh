@@ -1,9 +1,9 @@
 #!/bin/sh
-# Round-5 post-training chip sequence (run after output/oodbench_scale_r5
-# training completes). One coherent efficiency study on the r5 best
-# checkpoint + 32-scene held-out set, then ALGM token measurement, the
-# 512^2 tier, and the rasterizer trace. Sequential — one TPU process at a
-# time (CLAUDE.md).
+# Round-5 post-training chip sequence, ordered by VERDICT priority and
+# sized for the remaining wall clock. One TPU process at a time
+# (CLAUDE.md). The r4-checkpoint merge-family rows stay in eval.csv under
+# the -r4ck tag (their own base/input anchors); everything below runs on
+# the r5 best checkpoint + the 32-scene held-out set.
 set -e
 cd "$(dirname "$0")/.."
 RUN=${RUN:-output/oodbench_scale_r5}
@@ -14,25 +14,26 @@ python train.py --dataset oodbench_scale --model ptv3_base \
     --only_eval --compare_with_input --eval_subdir test \
     --override train.total_steps=10000
 
-echo "=== sweep: downsampling (corrected fps/voxel/drop) ==="
-python scripts/eval_sweep_r4.py --run "$RUN" --dataset oodbench_scale \
-    --pad 16384 --algos fps,voxel,drop --rates 0.1,0.3,0.5,0.7,0.9
+echo "=== refinement report ==="
+python scripts/make_refinement_report.py --run "$RUN" \
+    --archive reports/oodbench_r5 || true
 
-echo "=== sweep: merging family ==="
+echo "=== sweep: corrected downsampling (VERDICT #2) ==="
 python scripts/eval_sweep_r4.py --run "$RUN" --dataset oodbench_scale \
-    --pad 16384 --algos tome,pitome,tofu,prune,patch,wpatch,algm \
+    --pad 16384 --max_scenes 16 --algos fps,voxel,drop \
     --rates 0.1,0.3,0.5,0.7,0.9
 
-echo "=== sweep: ToMeSD analogs ==="
+echo "=== sweep: ToMeSD analogs (VERDICT #5) ==="
 python scripts/eval_sweep_r4.py --run "$RUN" --dataset oodbench_scale \
-    --pad 16384 --algos random_patch,progressive,important_patch \
+    --pad 16384 --max_scenes 16 --algos random_patch,progressive,important_patch \
     --rates 0.1,0.5,0.9
 
-echo "=== sweep: full scale (65k pad) ==="
+echo "=== sweep: full scale 65k pad (VERDICT #5) ==="
 python scripts/eval_sweep_r4.py --run "$RUN" --dataset oodbench_scale \
-    --pad 65536 --max_scenes 8 --algos tome,pitome,prune,algm --rates 0.1,0.5,0.9
+    --pad 65536 --max_scenes 8 --algos tome,pitome,prune,algm \
+    --rates 0.1,0.5,0.9
 
-echo "=== effective tokens (trained ckpt; ALGM is the target, VERDICT #8) ==="
+echo "=== effective tokens on the trained ckpt (VERDICT #8) ==="
 for combo in "algm 0.1" "algm 0.3" "algm 0.5" "algm 0.7" "algm 0.9" \
              "tome 0.5" "pitome 0.5" "prune 0.5"; do
   set -- $combo
@@ -42,14 +43,15 @@ for combo in "algm 0.1" "algm 0.3" "algm 0.5" "algm 0.7" "algm 0.9" \
       --csv gflops_r5.csv || true
 done
 
-echo "=== refinement report ==="
-python scripts/make_refinement_report.py --run "$RUN" \
-    --archive reports/oodbench_r5 || true
-
-echo "=== 512^2 tier ==="
+echo "=== 512^2 tier (VERDICT #6) ==="
 sh scripts/run_512_tier.sh || true
 
-echo "=== rasterizer trace + prewarm ==="
+echo "=== merge family rerun on r5 ckpt (coherence; if time remains) ==="
+python scripts/eval_sweep_r4.py --run "$RUN" --dataset oodbench_scale \
+    --pad 16384 --max_scenes 16 --algos tome,pitome,tofu,prune,patch,wpatch,algm \
+    --rates 0.1,0.3,0.5,0.7,0.9 || true
+
+echo "=== rasterizer trace + bench prewarm ==="
 python tools/profile_bench.py > output/profile_bench_r5.log 2>&1 || true
 sh scripts/prewarm_bench.sh || true
 echo "R5 POST SEQUENCE COMPLETE"
