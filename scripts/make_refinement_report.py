@@ -44,6 +44,12 @@ def main():
     args = ap.parse_args()
 
     ev = os.path.join(args.run, args.eval_subdir)
+    if not glob.glob(os.path.join(ev, "metrics.rank*.json")):
+        # auto-detect: the eval subdir is test/<test-set-name>
+        cands = glob.glob(os.path.join(args.run, "test", "*",
+                                       "metrics.rank0.json"))
+        if cands:
+            ev = os.path.dirname(cands[0])
     refined = scene_means(load_metric_jsons(
         os.path.join(ev, "metrics.rank*.json")))
     inputs = scene_means(load_metric_jsons(
@@ -116,6 +122,28 @@ def main():
                     f"\nBest held-out PSNR {best['psnr']:.3f} at step "
                     f"{best['step']} (the final table above evaluates this "
                     "checkpoint).\n")
+            # noise-floor measurement (VERDICT r4 item 4): the standard
+            # error of the eval-set mean, from the per-scene spread of the
+            # final refined eval, is the resolution at which two periodic
+            # evals are distinguishable; the plateau spread is compared
+            # against it so "flat within noise" is a measurement.
+            ps = [refined[s]["psnr"] for s in sorted(refined)]
+            if len(ps) > 1 and len(rows) >= 3:
+                sem = float(np.std(ps, ddof=1) / np.sqrt(len(ps)))
+                curve = [float(r_[2]) for r_ in rows]
+                steps_c = [int(r_[1]) for r_ in rows]
+                tail = curve[len(curve) // 2:]
+                spread = max(tail) - min(tail)
+                bstep = max(range(len(curve)), key=lambda i: curve[i])
+                frac = steps_c[bstep] / max(steps_c[-1], 1)
+                lines.append(
+                    f"\n**Noise floor**: per-scene PSNR std "
+                    f"{np.std(ps, ddof=1):.3f} dB over {len(ps)} scenes "
+                    f"-> standard error of the eval mean **±{sem:.3f} dB**. "
+                    f"Second-half plateau spread {spread:.3f} dB "
+                    f"({'within' if spread <= 2 * sem else 'ABOVE'} the "
+                    f"2-sigma noise band ±{2 * sem:.3f} dB); curve peak at "
+                    f"step {steps_c[bstep]} ({frac:.0%} of training).\n")
 
     if hist:
         lines.append("\n## Training curve (history.json)\n")
